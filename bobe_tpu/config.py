@@ -1,0 +1,72 @@
+"""Global configuration for bobe_tpu.
+
+The reference implementation (see /root/reference/BOBE/bo.py:5, gp.py:7) hard-enables
+float64 at import time because exact-GP Cholesky factorizations at noise=1e-8 are
+ill-conditioned in float32. We keep that default for numerical parity, but expose a
+dtype policy so the hot device paths (Gram, Cholesky, acquisition sweeps, samplers)
+can run in float32 on TPU where the MXU is ~10x faster, paired with an adaptive
+jitter ladder (see ops/chol.py) that restores stability.
+
+Usage::
+
+    import bobe_tpu
+    bobe_tpu.config.set_compute_dtype("float32")   # TPU fast path
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Enable x64 before any array is created (parity with reference gp.py:7).
+jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: compile latency dominates small-problem
+# wall time in this environment, and the BO loop's kernels are re-used across
+# runs. Opt out with BOBE_TPU_NO_COMP_CACHE=1.
+if not os.environ.get("BOBE_TPU_NO_COMP_CACHE"):
+    _cache_dir = os.environ.get(
+        "BOBE_TPU_COMP_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax versions
+        pass
+
+_COMPUTE_DTYPE = jnp.float64
+
+# Row-count padding granularity for GP buffers. 128 matches the TPU lane width /
+# MXU tile so padded Gram matrices map cleanly onto hardware tiles.
+PAD_MULTIPLE = 128
+
+# Floor used when clipping predicted variances (reference gp.py:16).
+SAFE_NOISE_FLOOR = 1e-12
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the dtype used for device-side GP/sampler math ('float32'|'float64')."""
+    global _COMPUTE_DTYPE
+    dt = jnp.dtype(dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        raise ValueError(f"compute dtype must be float32 or float64, got {dtype}")
+    _COMPUTE_DTYPE = jnp.float32 if dt == jnp.dtype(jnp.float32) else jnp.float64
+
+
+def compute_dtype():
+    """Current compute dtype for hot-path kernels."""
+    return _COMPUTE_DTYPE
+
+
+def is_x32() -> bool:
+    return _COMPUTE_DTYPE == jnp.float32
+
+
+# Allow env override (e.g. bench runs): BOBE_TPU_DTYPE=float32
+_env_dt = os.environ.get("BOBE_TPU_DTYPE")
+if _env_dt:
+    set_compute_dtype(_env_dt)

@@ -1,0 +1,252 @@
+"""Vectorized nested sampling, fully on device.
+
+The reference runs dynesty's StaticNestedSampler with the GP mean as the
+likelihood (/root/reference/BOBE/samplers.py:55-194). dynesty's random-walk
+replacement loop is host-driven Python — every one of its 1e4-1e6 likelihood
+calls crosses the host<->device boundary, which is THE dominant bottleneck of
+the reference on accelerators (SURVEY.md section 3.2). This module replaces it
+with a batched nested sampler whose entire run is ONE jitted while_loop:
+
+* Batch kill: each outer step retires the K worst live points at once. The
+  expected log-volume shrinkage of the r-th retired point is
+  -sum_{m<=r} 1/(nlive - m) (order statistics of simultaneous kills), which
+  reproduces dynesty's -1/nlive per point as K/nlive -> 0.
+* Batch replace: K survivors are cloned and evolved by hit-and-run slice
+  sampling constrained to logL > L* — directions are drawn from the live-point
+  empirical covariance (whitened, like PolyChord), the initial bracket is the
+  full unit-cube chord, and shrinkage iterates to acceptance. All K chains
+  advance in lockstep, so every constrained-likelihood evaluation is a
+  (K, d)-batched GP predict on the MXU.
+* Stopping: remaining-evidence criterion dlogz (same semantics as dynesty),
+  plus call/buffer budgets.
+
+Evidence post-processing (trapezoid logZ, information, GP-sigma bounds) is in
+infer/integrals.py and matches the reference's constructions exactly.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+from ..utils.log import get_logger
+
+log = get_logger("nested")
+
+
+class NSResult(NamedTuple):
+    dead_x: np.ndarray      # (n_total, d) dead + final live, sampling order
+    dead_logl: np.ndarray   # (n_total,)
+    logvol: np.ndarray      # (n_total,) assigned log prior volumes
+    logz: float             # quick accumulated estimate (use integrals for final)
+    n_calls: int
+    n_iter: int
+    nlive: int
+    success: bool
+
+
+def _slice_directions(key, live_x, n_dir, mask):
+    """Directions from the live-set empirical covariance (whitened sampling).
+
+    live_x: (nlive, d); returns (n_dir, d) unnormalized direction vectors.
+    """
+    nlive, d = live_x.shape
+    w = mask / jnp.sum(mask)
+    mean = jnp.sum(live_x * w[:, None], axis=0)
+    xc = (live_x - mean) * jnp.sqrt(w)[:, None]
+    cov = xc.T @ xc + 1e-10 * jnp.eye(d, dtype=live_x.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    z = random.normal(key, (n_dir, d), dtype=live_x.dtype)
+    return z @ chol.T
+
+
+def _chord_bounds(x, e):
+    """Intersection of the line x + t*e with the unit cube: (t_lo, t_hi)."""
+    eps = 1e-30
+    e_safe = jnp.where(jnp.abs(e) < eps, eps, e)
+    t0 = (0.0 - x) / e_safe
+    t1 = (1.0 - x) / e_safe
+    lo = jnp.max(jnp.minimum(t0, t1))
+    hi = jnp.min(jnp.maximum(t0, t1))
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("loglike_apply", "nlive", "kill_k",
+                                   "max_dead", "n_repeats", "max_shrink", "d"))
+def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
+             nlive: int, kill_k: int, max_dead: int, n_repeats: int,
+             max_shrink: int, d: int, dlogz: float, maxcall: int):
+    """The jitted NS main loop. Returns padded dead buffers + counters.
+
+    ``loglike_apply(ctx, x)`` evaluates the batched log-likelihood; ``ctx`` is
+    a traced pytree (e.g. the GP state) so successive BO iterations with new
+    training data reuse the same compiled loop — no per-iteration retraces.
+    """
+    loglike_fn = lambda x: loglike_apply(ctx, x)
+    dt = live_x0.dtype
+    K = kill_k
+
+    # expected shrinkage for simultaneous kill of K worst among nlive
+    hs = jnp.cumsum(1.0 / (nlive - jnp.arange(K, dtype=dt)))  # (K,)
+
+    def replace_batch(key, live_x, live_logl, lstar):
+        """Evolve K clones of random survivors above lstar via slice sampling."""
+        k_pick, k_dir, k_loop = random.split(key, 3)
+        # survivors = all current live points (all have logl > lstar)
+        idx = random.randint(k_pick, (K,), 0, nlive)
+        x_cur = live_x[idx]
+        l_cur = live_logl[idx]
+
+        def one_repeat(carry, rep_key):
+            x_cur, l_cur = carry
+            k_d, k_u, k_s = random.split(rep_key, 3)
+            e = _slice_directions(k_d, live_x, K, jnp.ones(nlive, dt))  # (K, d)
+            lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
+
+            def shrink_body(c):
+                it, key, lo, hi, x_cur, l_cur, done = c
+                key, k_t = random.split(key)
+                t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
+                x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
+                l_try = loglike_fn(x_try)
+                ok = (l_try > lstar) & ~done
+                x_cur = jnp.where(ok[:, None], x_try, x_cur)
+                l_cur = jnp.where(ok, l_try, l_cur)
+                done = done | ok
+                # shrink the bracket toward 0 for still-active chains
+                shrink_left = (~done) & (t < 0)
+                lo = jnp.where(shrink_left, t, lo)
+                hi = jnp.where((~done) & (t >= 0), t, hi)
+                return it + 1, key, lo, hi, x_cur, l_cur, done
+
+            def shrink_cond(c):
+                it, _, _, _, _, _, done = c
+                return (it < max_shrink) & ~jnp.all(done)
+
+            done0 = jnp.zeros(K, bool)
+            it, _, _, _, x_cur, l_cur, done = lax.while_loop(
+                shrink_cond, shrink_body,
+                (0, k_s, lo, hi, x_cur, l_cur, done0))
+            return (x_cur, l_cur), it
+
+        rep_keys = random.split(k_loop, n_repeats)
+        (x_new, l_new), its = lax.scan(one_repeat, (x_cur, l_cur), rep_keys)
+        calls = jnp.sum(its) * K
+        return x_new, l_new, calls
+
+    def body(c):
+        (it, key, live_x, live_logl, dead_x, dead_logl, dead_lv,
+         n_dead, logvol, logz, calls) = c
+        key, k_rep = random.split(key)
+
+        order = jnp.argsort(live_logl)
+        kill_idx = order[:K]
+        lstar = live_logl[order[K - 1]]
+
+        # record dead points with their assigned shrinking volumes
+        lv_batch = logvol - hs  # (K,)
+        dx = live_x[kill_idx]
+        dl = live_logl[kill_idx]
+        dead_x = lax.dynamic_update_slice(dead_x, dx, (n_dead, 0))
+        dead_logl = lax.dynamic_update_slice(dead_logl, dl, (n_dead,))
+        dead_lv = lax.dynamic_update_slice(dead_lv, lv_batch, (n_dead,))
+
+        # quick rectangle logz accumulation (stopping rule only)
+        lv_prev = jnp.concatenate([logvol[None], lv_batch[:-1]])
+        logdvol = lv_prev + jnp.log1p(-jnp.exp(jnp.minimum(lv_batch - lv_prev, -1e-12)))
+        logz = jnp.logaddexp(logz, jax.scipy.special.logsumexp(dl + logdvol))
+
+        # evolve replacements from survivor clones — first swap the killed
+        # slots with survivors so replace_batch samples only from survivors
+        survivors_x = live_x.at[kill_idx].set(live_x[order[K]])
+        survivors_l = live_logl.at[kill_idx].set(live_logl[order[K]])
+        x_new, l_new, rep_calls = replace_batch(k_rep, survivors_x, survivors_l, lstar)
+        live_x = survivors_x.at[kill_idx].set(x_new)
+        live_logl = survivors_l.at[kill_idx].set(l_new)
+
+        return (it + 1, key, live_x, live_logl, dead_x, dead_logl, dead_lv,
+                n_dead + K, logvol - hs[-1], logz, calls + rep_calls)
+
+    def cond(c):
+        (it, key, live_x, live_logl, dead_x, dead_logl, dead_lv,
+         n_dead, logvol, logz, calls) = c
+        delta = jnp.logaddexp(logz, jnp.max(live_logl) + logvol) - logz
+        room = n_dead + K <= max_dead
+        return (delta > dlogz) & room & (calls < maxcall)
+
+    neg = jnp.asarray(-1e300, dt)
+    init = (
+        jnp.asarray(0, jnp.int32), key, live_x0, live_logl0,
+        jnp.zeros((max_dead, d), dt), jnp.full((max_dead,), neg),
+        jnp.full((max_dead,), neg),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt), neg,
+        jnp.asarray(0, jnp.int32),
+    )
+    out = lax.while_loop(cond, body, init)
+    (it, _, live_x, live_logl, dead_x, dead_logl, dead_lv,
+     n_dead, logvol, logz, calls) = out
+    return (live_x, live_logl, dead_x, dead_logl, dead_lv, n_dead, logvol,
+            logz, it, calls)
+
+
+def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
+               dlogz: float = 0.01, maxcall: int = int(5e6),
+               kill_frac: float = 0.1, n_repeats: int | None = None,
+               max_shrink: int = 40, max_dead: int | None = None,
+               live_x=None, live_logl=None, rng=None) -> NSResult:
+    """Run nested sampling; ``loglike_apply(ctx, x)`` maps (m, d) -> (m,).
+
+    ``loglike_apply`` must be a stable (cacheable) function and ``ctx`` the
+    traced data it needs. live_x/live_logl optionally seed the live set
+    (classifier-aware seeding happens in samplers.py, mirroring reference
+    samplers.py:129-155).
+    """
+    dt = jnp.float64
+    if live_x is None:
+        rng = rng if rng is not None else np.random.default_rng()
+        live_x = jnp.asarray(rng.uniform(size=(nlive, d)), dtype=dt)
+    else:
+        live_x = jnp.asarray(live_x, dtype=dt)
+        nlive = live_x.shape[0]
+    if live_logl is None:
+        live_logl = loglike_apply(ctx, live_x)
+    live_logl = jnp.asarray(live_logl, dtype=dt)
+
+    K = max(1, int(round(nlive * kill_frac)))
+    if n_repeats is None:
+        n_repeats = max(3, int(math.ceil(1.5 * d)))
+    if max_dead is None:
+        max_dead = int(min(200_000, max(20_000, nlive * 80)))
+    max_dead = ((max_dead + K - 1) // K) * K  # multiple of K
+
+    (live_x, live_logl, dead_x, dead_logl, dead_lv, n_dead, logvol, logz,
+     n_iter, calls) = _ns_loop(
+        loglike_apply, ctx, live_x, live_logl, key, nlive, K, max_dead,
+        int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall))
+
+    n_dead = int(n_dead)
+    dead_x = np.asarray(dead_x)[:n_dead]
+    dead_logl = np.asarray(dead_logl)[:n_dead]
+    dead_lv = np.asarray(dead_lv)[:n_dead]
+    logvol = float(logvol)
+
+    # append the final live set: remaining volume split uniformly
+    # X_i = X_end * (nlive - i)/nlive for the i-th in ascending logl
+    live_order = np.argsort(np.asarray(live_logl))
+    lx = np.asarray(live_x)[live_order]
+    ll = np.asarray(live_logl)[live_order]
+    frac = (nlive - np.arange(1, nlive + 1)) / nlive
+    lv_live = logvol + np.log(np.clip(frac, 1e-300, None))
+
+    all_x = np.concatenate([dead_x, lx])
+    all_logl = np.concatenate([dead_logl, ll])
+    all_lv = np.concatenate([dead_lv, lv_live])
+
+    success = bool(n_dead > 0 and not np.all(all_logl == all_logl[0]))
+    return NSResult(all_x, all_logl, all_lv, float(logz), int(calls),
+                    int(n_iter), nlive, success)

@@ -1,0 +1,78 @@
+"""GP covariance kernels on padded, masked buffers.
+
+TPU-first re-design of the reference kernels (/root/reference/BOBE/gp.py:80-168):
+
+* Squared distances use the ``|a|^2 + |b|^2 - 2 a.b`` expansion so the O(n^2 d)
+  work is a single MXU matmul instead of an (n1, n2, d) broadcast that would
+  stream through HBM (the reference materialises that 3-D tensor, gp.py:96).
+* All Gram builders take an activity mask: buffers are padded to a static
+  capacity (multiple of 128) so XLA compiles each bucket once. Pad rows/cols
+  are forced to identity ``K[i,i]=1, K[i,j]=0`` which makes the padded Cholesky
+  factor block-diagonal ``[[L, 0], [0, I]]`` — downstream solves are then exact
+  without any masking (see ops/chol.py).
+
+Supported kernels match the reference: RBF and Matern-5/2, both with ARD
+lengthscales and a global variance (amplitude) parameter.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+SQRT5 = math.sqrt(5.0)
+
+
+def sq_dist(xa, xb):
+    """Pairwise squared Euclidean distances, (n1, d) x (n2, d) -> (n1, n2).
+
+    Uses the matmul expansion; tiny negatives from cancellation are clamped.
+    """
+    a2 = jnp.sum(xa * xa, axis=-1)[:, None]
+    b2 = jnp.sum(xb * xb, axis=-1)[None, :]
+    ab = xa @ xb.T
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+
+
+def _corr(name: str, dsq):
+    """Correlation (unit-variance kernel) from squared scaled distances."""
+    if name == "rbf":
+        return jnp.exp(-0.5 * dsq)
+    elif name == "matern":
+        d = jnp.sqrt(jnp.maximum(dsq, 1e-30))
+        return (1.0 + SQRT5 * d + (5.0 / 3.0) * dsq) * jnp.exp(-SQRT5 * d)
+    raise ValueError(f"Unknown kernel '{name}' (expected 'rbf' or 'matern')")
+
+
+def cross_kernel(name, xa, xb, lengthscales, kernel_variance):
+    """Dense cross-covariance K(xa, xb), no noise, no masking."""
+    dsq = sq_dist(xa / lengthscales, xb / lengthscales)
+    return kernel_variance * _corr(name, dsq)
+
+
+def kernel_diag(n, kernel_variance, noise, include_noise=True, dtype=None):
+    """Diagonal of K(x, x): constant amplitude (+ noise)."""
+    diag = kernel_variance * jnp.ones((n,), dtype=dtype)
+    if include_noise:
+        diag = diag + noise
+    return diag
+
+
+def gram_masked(name, x, mask, lengthscales, kernel_variance, noise):
+    """Padded training Gram matrix with identity pad block.
+
+    x: (cap, d) padded inputs; mask: (cap,) 1.0 for active rows.
+    Returns K with K[active,active] = k(x,x) + noise*I, K[pad,pad] = I,
+    and zero cross blocks. Its Cholesky is [[L_active, 0], [0, I]].
+    """
+    k = cross_kernel(name, x, x, lengthscales, kernel_variance)
+    mm = mask[:, None] * mask[None, :]
+    eye = jnp.eye(x.shape[0], dtype=k.dtype)
+    k = k * mm + (noise * mask + (1.0 - mask)) * eye
+    return k
+
+
+def cross_kernel_masked(name, x_train, mask, xq, lengthscales, kernel_variance):
+    """K(x_train, xq) with pad training rows zeroed: (cap, m)."""
+    k = cross_kernel(name, x_train, xq, lengthscales, kernel_variance)
+    return k * mask[:, None]

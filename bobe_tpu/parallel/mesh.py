@@ -1,0 +1,120 @@
+"""Device-mesh helpers: sharded GP prediction, acquisition sweeps and
+sampler chains over a jax.sharding.Mesh.
+
+This is the TPU-native replacement for the reference's device-level
+parallelism, which was jax.pmap over (usually faked) host devices for NUTS
+chains (/root/reference/BOBE/samplers.py:304-349) and nothing else. Here a
+1-D mesh over all available devices carries:
+
+* batch-sharded GP prediction / WIP sweeps (query points split over the mesh;
+  the GP state is replicated; XLA/GSPMD inserts the all-gathers), and
+* chain-sharded NUTS (the vmapped chain axis is laid out over devices).
+
+On a single chip everything degrades to the unsharded jitted path.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import gp as gpm
+from ..utils.log import get_logger
+
+log = get_logger("mesh")
+
+AXIS = "dev"
+
+
+def get_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'dev'."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS))
+
+
+def pad_to_multiple(x: jnp.ndarray, m: int):
+    """Pad the leading axis to a multiple of m. Returns (padded, n_orig)."""
+    n = x.shape[0]
+    rem = (-n) % m
+    if rem:
+        pad = jnp.repeat(x[-1:], rem, axis=0)
+        x = jnp.concatenate([x, pad], axis=0)
+    return x, n
+
+
+@lru_cache(maxsize=16)
+def _sharded_predict_core(cfg: gpm.GPTrainConfig, mesh: Mesh):
+    @jax.jit
+    def run(state, xq):
+        xq = jax.lax.with_sharding_constraint(xq, batch_sharded(mesh))
+        return gpm.predict(state, cfg, xq)
+
+    return run
+
+
+def sharded_predict(gp, xq, mesh: Optional[Mesh] = None):
+    """Physical-scale (mean, var) with the query batch sharded over the mesh."""
+    mesh = mesh if mesh is not None else get_mesh()
+    xq = jnp.atleast_2d(xq)
+    xq_p, n = pad_to_multiple(xq, mesh.size)
+    run = _sharded_predict_core(gp.cfg, mesh)
+    mean, var = run(gp.state, xq_p)
+    return mean[:n], var[:n]
+
+
+@lru_cache(maxsize=16)
+def _sharded_wip_core(cfg: gpm.GPTrainConfig, use_std: bool, mesh: Mesh):
+    from ..ops.fantasy import posterior_batch, wip_sweep
+
+    @jax.jit
+    def run(state, mc_points):
+        ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
+        # candidate/mc batch sharded over devices; state replicated
+        mc_sh = jax.lax.with_sharding_constraint(mc_points, batch_sharded(mesh))
+        V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
+                                 mc_sh, ls, amp, cfg.noise)
+        return wip_sweep(cfg.kernel, mc_sh, V, var, ls, amp, cfg.noise,
+                         state.y_std, use_std)
+
+    return run
+
+
+def sharded_wip_sweep(gp, mc_points, use_std: bool, mesh: Optional[Mesh] = None):
+    """WIP acquisition over the MC pool with the pool sharded over devices."""
+    mesh = mesh if mesh is not None else get_mesh()
+    mc_points = jnp.atleast_2d(mc_points)
+    mc_p, n = pad_to_multiple(mc_points, mesh.size)
+    run = _sharded_wip_core(gp.cfg, use_std, mesh)
+    return run(gp.state, mc_p)[:n]
+
+
+def sharded_nuts(apply_fn, ctx, init_z, keys, mesh: Optional[Mesh] = None,
+                 **chain_kwargs):
+    """Run vmapped NUTS chains with the chain axis sharded over the mesh.
+
+    init_z/keys: (n_chains, ...) with n_chains a multiple of mesh.size for an
+    even layout (padding is the caller's choice).
+    """
+    from functools import partial
+
+    from ..infer.nuts import run_chain
+
+    mesh = mesh if mesh is not None else get_mesh()
+    sh = batch_sharded(mesh)
+    init_z = jax.device_put(init_z, sh)
+    keys = jax.device_put(keys, sh)
+    runner = jax.vmap(partial(run_chain, apply_fn, **chain_kwargs),
+                      in_axes=(None, 0, 0))
+    return jax.jit(runner)(ctx, init_z, keys)

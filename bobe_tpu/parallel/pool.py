@@ -1,0 +1,284 @@
+"""Evaluation pools: the host-side runtime for expensive true likelihoods.
+
+The reference's entire distributed runtime is an mpi4py master-worker task
+farm (/root/reference/BOBE/pool.py). In the TPU-native design the roles split:
+
+* GP math (fits, acquisition, samplers) runs on the accelerator with vmapped
+  restarts and sharded batches — the MPI restart farm (pool.py:239-328) has no
+  equivalent here because the device replaces it outright.
+* True-likelihood evaluations are inherently host-side (Cobaya/theory codes on
+  CPU). They go through an ``EvalPool``:
+    - SerialPool: in-process loop (the reference's size==1 fallback).
+    - MultiprocessPool: fork-based worker pool on one host with dynamic
+      scheduling, preserving result order and fail-fast error propagation
+      (the semantics of pool.py:143-206).
+    - DistributedPool: multi-host via jax.distributed — rank 0 orchestrates;
+      every rank evaluates a round-robin shard of each batch and results are
+      combined with an all-gather over the process group (compiler-level
+      collectives replace mpi4py point-to-point).
+
+All pools share the reference's per-rank seed-offset convention (pool.py:81-83)
+via utils/seed.set_global_seed(rank_offset=True).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.log import get_logger
+from ..utils.seed import get_numpy_rng
+
+log = get_logger("pool")
+
+
+class EvalPool:
+    """Interface; also usable directly as the serial pool."""
+
+    size: int = 1
+
+    @property
+    def is_main_process(self) -> bool:
+        return True
+
+    @property
+    def is_mpi(self) -> bool:  # kept for reference API familiarity
+        return False
+
+    @property
+    def is_distributed(self) -> bool:
+        return self.size > 1
+
+    def run_map_objective(self, likelihood, points) -> np.ndarray:
+        """Evaluate likelihood at each point (n, d) -> (n,) in order."""
+        raise NotImplementedError
+
+    def get_cobaya_initial_points(self, likelihood, n_points: int, rng=None
+                                  ) -> List[Tuple]:
+        """Draw n valid points from the Cobaya reference distribution."""
+        raise NotImplementedError
+
+    def gp_fit(self, gp, n_restarts=8, maxiters=500, rng=None, use_pool=True):
+        """Hyperparameter fit. On-device vmapped restarts — the pool exists
+        only for API familiarity (reference pool.py:239)."""
+        return gp.fit(n_restarts=n_restarts, maxiter=maxiters, rng=rng)
+
+    def clear_jax_caches(self):
+        """No-op: padded static shapes make the reference's per-iteration
+        cache purge (pool.py:365, bo.py:1336) unnecessary."""
+
+    def close(self):
+        pass
+
+
+class SerialPool(EvalPool):
+    """In-process evaluation (reference pool.py serial fallback :37-51)."""
+
+    def run_map_objective(self, likelihood, points) -> np.ndarray:
+        points = np.atleast_2d(np.asarray(points))
+        return np.asarray([likelihood(p) for p in points], dtype=np.float64)
+
+    def get_cobaya_initial_points(self, likelihood, n_points, rng=None):
+        rng = rng if rng is not None else get_numpy_rng()
+        return [likelihood._get_single_valid_point(rng) for _ in range(n_points)]
+
+
+# --------------------------------------------------------------------------
+# single-host multiprocessing
+# --------------------------------------------------------------------------
+
+_WORKER_LIKELIHOOD = None
+
+
+def _mp_init(likelihood, base_seed):
+    global _WORKER_LIKELIHOOD
+    _WORKER_LIKELIHOOD = likelihood
+    from ..utils import seed as seed_mod
+
+    if base_seed is not None:
+        seed_mod.set_global_seed(base_seed + os.getpid() % 10000, rank_offset=False)
+
+
+def _mp_eval(args):
+    idx, point = args
+    return idx, _WORKER_LIKELIHOOD(point)
+
+
+def _mp_cobaya_point(seed_i):
+    rng = np.random.default_rng(seed_i)
+    return _WORKER_LIKELIHOOD._get_single_valid_point(rng)
+
+
+class MultiprocessPool(EvalPool):
+    """Fork-based worker pool for one host.
+
+    Dynamic scheduling comes from multiprocessing's work queue
+    (imap_unordered); results are index-tagged to restore order and any worker
+    exception propagates to the caller (fail-fast), matching the reference's
+    scheduler semantics (pool.py:143-206).
+    """
+
+    def __init__(self, n_workers: Optional[int] = None, seed: Optional[int] = None):
+        import multiprocessing as mp
+
+        self._mp = mp.get_context("fork")
+        self.size = n_workers or max(1, os.cpu_count() or 1)
+        self._seed = seed
+        self._pool = None
+        self._likelihood = None
+
+    def _ensure_pool(self, likelihood):
+        if self._pool is None or self._likelihood is not likelihood:
+            self.close()
+            self._likelihood = likelihood
+            self._pool = self._mp.Pool(
+                self.size, initializer=_mp_init, initargs=(likelihood, self._seed))
+
+    def run_map_objective(self, likelihood, points) -> np.ndarray:
+        points = np.atleast_2d(np.asarray(points))
+        if len(points) == 1 or self.size == 1:
+            return SerialPool().run_map_objective(likelihood, points)
+        self._ensure_pool(likelihood)
+        out = np.empty(len(points), dtype=np.float64)
+        for idx, val in self._pool.imap_unordered(
+                _mp_eval, list(enumerate(points))):
+            out[idx] = val
+        return out
+
+    def get_cobaya_initial_points(self, likelihood, n_points, rng=None):
+        rng = rng if rng is not None else get_numpy_rng()
+        seeds = rng.integers(0, 2**31 - 1, size=n_points)
+        self._ensure_pool(likelihood)
+        return list(self._pool.map(_mp_cobaya_point, seeds))
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+
+# --------------------------------------------------------------------------
+# multi-host via jax.distributed
+# --------------------------------------------------------------------------
+
+class DistributedPool(EvalPool):
+    """Multi-host likelihood farm over the jax.distributed process group.
+
+    Every process runs the same program. Rank 0 drives the BO loop; at each
+    evaluation point all ranks enter :meth:`run_map_objective` together:
+    the batch is broadcast from rank 0, each rank evaluates its round-robin
+    shard on the host CPU, and a process all-gather reassembles the ordered
+    results. Worker ranks block in :meth:`worker_loop` between batches.
+
+    Requires jax.distributed.initialize() to have been called (the BOBE
+    orchestrator does this when world size > 1).
+    """
+
+    TASK_EVAL, TASK_COBAYA, TASK_EXIT = 0, 1, 2
+
+    def __init__(self):
+        import jax
+
+        self.rank = jax.process_index()
+        self.size = jax.process_count()
+
+    @property
+    def is_main_process(self) -> bool:
+        return self.rank == 0
+
+    def _bcast(self, arr):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.broadcast_one_to_all(np.asarray(arr)))
+
+    def _allgather_rows(self, local_rows):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(local_rows))
+
+    def _eval_shard(self, likelihood, points):
+        n = len(points)
+        idxs = np.arange(self.rank, n, self.size)
+        vals = np.full(n, np.nan, dtype=np.float64)
+        for i in idxs:
+            vals[i] = likelihood(points[i])
+        return vals
+
+    def run_map_objective(self, likelihood, points) -> np.ndarray:
+        points = np.atleast_2d(np.asarray(points))
+        if self.size == 1:
+            return SerialPool().run_map_objective(likelihood, points)
+        if self.is_main_process:
+            self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]]))
+            pts = self._bcast(points)
+        else:
+            pts = points  # workers receive the broadcast inside worker_loop
+        local = self._eval_shard(likelihood, pts)
+        allv = self._allgather_rows(local)  # (size, n)
+        out = np.nanmax(np.where(np.isnan(allv), -np.inf, allv), axis=0)
+        # nan-free combine: each column has exactly one non-nan entry
+        cols = ~np.isnan(allv)
+        out = allv[np.argmax(cols, axis=0), np.arange(allv.shape[1])]
+        return out
+
+    def worker_loop(self, likelihood):
+        """Ranks > 0 block here, mirroring worker_wait (pool.py:56-141)."""
+        while True:
+            header = self._bcast(np.zeros(3))
+            task = int(header[0])
+            if task == self.TASK_EXIT:
+                return
+            if task == self.TASK_EVAL:
+                n, d = int(header[1]), int(header[2])
+                pts = self._bcast(np.zeros((n, d)))
+                local = self._eval_shard(likelihood, pts)
+                self._allgather_rows(local)
+            elif task == self.TASK_COBAYA:
+                n = int(header[1])
+                self._cobaya_shard(likelihood, n)
+
+    def _cobaya_shard(self, likelihood, n_points):
+        rng = get_numpy_rng()
+        idxs = np.arange(self.rank, n_points, self.size)
+        d = likelihood.ndim
+        pts = np.full((n_points, d), np.nan)
+        lps = np.full(n_points, np.nan)
+        for i in idxs:
+            pt, lp = likelihood._get_single_valid_point(rng)
+            pts[i], lps[i] = pt, lp
+        allp = self._allgather_rows(pts)
+        alll = self._allgather_rows(lps)
+        sel = np.argmax(~np.isnan(alll), axis=0)
+        return [(allp[sel[i], i], alll[sel[i], i]) for i in range(n_points)]
+
+    def get_cobaya_initial_points(self, likelihood, n_points, rng=None):
+        if self.size == 1:
+            return SerialPool().get_cobaya_initial_points(likelihood, n_points, rng)
+        self._bcast(np.asarray([self.TASK_COBAYA, n_points, 0]))
+        return self._cobaya_shard(likelihood, n_points)
+
+    def close(self):
+        if self.size > 1 and self.is_main_process:
+            self._bcast(np.asarray([self.TASK_EXIT, 0, 0]))
+
+
+def make_pool(kind: str = "auto", **kwargs) -> EvalPool:
+    """Pool factory: 'auto' picks Distributed when a jax process group exists,
+    else Serial. 'multiprocess' forces the fork pool."""
+    if kind == "serial":
+        return SerialPool()
+    if kind == "multiprocess":
+        return MultiprocessPool(**kwargs)
+    if kind == "distributed":
+        return DistributedPool()
+    # auto
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return DistributedPool()
+    except Exception:
+        pass
+    return SerialPool()

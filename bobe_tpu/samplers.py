@@ -1,0 +1,239 @@
+"""Surrogate samplers: nested sampling and NUTS over the GP mean.
+
+Reference-compatible entry points (cf. /root/reference/BOBE/samplers.py):
+
+* ``nested_sampling(gp, mode=...)`` — replaces ``nested_sampling_Dy``. The
+  sampler itself is the on-device batched NS of infer/nested.py (dynesty's
+  host loop was the reference's dominant accelerator bottleneck); the logZ
+  uncertainty construction (re-integrating logl +/- sigma_GP over the dead
+  volumes plus the variance integral) matches samplers.py:172-185 exactly.
+* ``sample_gp_nuts(gp, ...)`` — replaces ``sample_GP_NUTS``; in-house NUTS
+  (infer/nuts.py) on the logit-transformed unit cube, chains vmapped so the
+  GP-mean evaluations batch onto the MXU instead of pmap-per-device
+  (reference samplers.py:304-349).
+
+Both cache their jitted cores per GP configuration and take the GP state as a
+traced argument, so the BO loop never retraces them between iterations.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .infer import integrals
+from .infer.nested import run_nested
+from .infer.nuts import run_chain
+from .models import gp as gpm
+from .utils.core import renormalise_log_weights, resample_equal
+from .utils.log import get_logger
+from .utils.seed import get_new_jax_key, get_numpy_rng
+
+log = get_logger("sampler")
+
+
+# --------------------------------------------------------------- GP adapters
+
+@lru_cache(maxsize=32)
+def _mean_apply(cfg: gpm.GPTrainConfig, gated: bool, prob_threshold: float,
+                minus_inf: float, clf_kind: str):
+    """Stable batched GP-mean function (m, d) -> (m,), classifier-gated when
+    the surrogate carries a feasibility classifier (clf_gp semantics)."""
+    if not gated:
+        def apply(ctx, x):
+            return gpm.predict_mean(ctx, cfg, x)
+        return apply
+
+    from .models.classifiers import predict_proba_apply
+
+    clf_apply = predict_proba_apply(clf_kind)
+
+    def apply(ctx, x):
+        state, clf_params = ctx
+        mean = gpm.predict_mean(state, cfg, x)
+        probs = clf_apply(clf_params, x)
+        return jnp.where(probs >= prob_threshold, mean, minus_inf)
+
+    return apply
+
+
+def _gp_loglike(gp) -> Tuple:
+    """Returns (apply_fn, ctx) for the GP's (possibly gated) mean."""
+    clf = getattr(gp, "_clf_ctx", None)  # set by GPwithClassifier when active
+    if clf is not None:
+        apply = _mean_apply(gp.cfg, True, float(gp.probability_threshold),
+                            float(gp.minus_inf), gp.clf_type)
+        return apply, (gp.state, clf)
+    apply = _mean_apply(gp.cfg, False, 0.0, 0.0, "")
+    return apply, gp.state
+
+
+# ------------------------------------------------------------ nested sampling
+
+def ns_settings(mode: str, ndim: int) -> Tuple[int, float, int]:
+    """(nlive, dlogz, maxcall) per mode (reference samplers.py:119-125)."""
+    if mode == "acq":
+        return max(100, min(500, 20 * ndim)), 0.1, int(2e6)
+    return max(500, 40 * ndim), 0.01, int(5e6)
+
+
+def _seed_live_points(gp, loglike, nlive, ndim, rng):
+    """Classifier-aware live seeding: rejection over 5000*d GP evaluations so
+    the live set is not all minus_inf (reference samplers.py:129-151)."""
+    maxtries = 1000
+    nlogl = 5000 * ndim
+    x = rng.uniform(size=(nlogl, ndim))
+    logl = np.asarray(loglike(jnp.asarray(x)))
+    for i in range(maxtries):
+        idx = rng.choice(nlogl, size=nlive, replace=False)
+        if not np.all(logl[idx] == logl[idx][0]):
+            return x[idx], logl[idx]
+    # fall back: force one valid point
+    idx = rng.choice(nlogl, size=nlive, replace=False)
+    pt = gp.get_random_point(rng=rng, nstd=1.0)
+    lx, ll = x[idx], logl[idx]
+    lx[0] = pt
+    ll[0] = float(loglike(jnp.asarray(pt)[None, :])[0])
+    return lx, ll
+
+
+def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
+                    dlogz: Optional[float] = None, dynamic: bool = False,
+                    maxcall: Optional[int] = None, equal_weights: bool = False,
+                    rng=None, rng_key=None,
+                    **ns_kwargs) -> Tuple[Dict, Dict, bool]:
+    """Nested sampling over the GP surrogate.
+
+    Returns (samples_dict, logz_dict, success) with the reference's schema
+    (samplers.py:185-194): logz_dict carries mean/upper/lower/var/std/
+    dlogz_sampler; samples carry x/weights/logl/best/method.
+    """
+    ndim = ndim if ndim is not None else gp.ndim
+    nlive, dlogz_default, maxcall_default = ns_settings(mode, ndim)
+    dlogz = dlogz if dlogz is not None else dlogz_default
+    maxcall = maxcall if maxcall is not None else maxcall_default
+    if mode == "acq":
+        equal_weights = True
+
+    rng = rng if rng is not None else get_numpy_rng()
+    key = rng_key if rng_key is not None else get_new_jax_key()
+
+    apply_fn, ctx = _gp_loglike(gp)
+    loglike = lambda x: apply_fn(ctx, x)
+
+    live_x = live_logl = None
+    if getattr(gp, "use_clf", False):
+        live_x, live_logl = _seed_live_points(gp, loglike, nlive, ndim, rng)
+
+    res = run_nested(apply_fn, ctx, ndim, key, nlive=nlive, dlogz=dlogz,
+                     maxcall=maxcall, live_x=live_x, live_logl=live_logl,
+                     rng=rng, **ns_kwargs)
+    log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
+              f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
+
+    # ---- evidence + GP-uncertainty bounds (reference samplers.py:172-185)
+    var = np.asarray(gp.predict_var_batched(jnp.asarray(res.dead_x)))
+    sigma = np.sqrt(np.clip(var, 0.0, None))
+    logz_dict = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol, sigma)
+    h, logzerr = integrals.information_and_err(res.dead_logl, res.logvol,
+                                               logz_dict["mean"], res.nlive)
+    logz_dict["dlogz_sampler"] = logzerr
+    logz_dict["h"] = h
+
+    logwt = integrals.logwt_from(res.dead_logl, res.logvol)
+    weights = renormalise_log_weights(logwt)
+    samples_x, logl = res.dead_x, res.dead_logl
+    success = res.success and not np.all(logl == logl[0])
+    best_pt = samples_x[np.argmax(logl)]
+    if equal_weights:
+        samples_x, logl = resample_equal(samples_x, logl, weights=weights, rng=rng)
+        weights = np.ones(samples_x.shape[0])
+    samples_dict = {"x": samples_x, "weights": weights, "logl": logl,
+                    "best": best_pt, "method": "nested"}
+    return samples_dict, logz_dict, success
+
+
+# ----------------------------------------------------------------------- NUTS
+
+def get_hmc_settings(ndim, warmup_steps=None, num_samples=None, thinning=None):
+    """Dimension-based defaults (reference samplers.py:196-214)."""
+    warmup_steps = warmup_steps if warmup_steps is not None else (256 if ndim <= 9 else 512)
+    num_samples = num_samples if num_samples is not None else (1024 if ndim <= 9 else 2048)
+    thinning = thinning if thinning is not None else 4
+    return warmup_steps, num_samples, thinning
+
+
+@lru_cache(maxsize=32)
+def _nuts_logprob_apply(cfg: gpm.GPTrainConfig, gated: bool, prob_threshold: float,
+                        minus_inf: float, clf_kind: str, temp: float):
+    """Target density on R^d: logit-transformed Uniform(0,1)^d prior plus the
+    (tempered) GP mean — the same model as the reference's numpyro program
+    (samplers.py:268-276)."""
+    mean_apply = _mean_apply(cfg, gated, prob_threshold, minus_inf, clf_kind)
+
+    def apply(ctx, z):
+        x = jax.nn.sigmoid(z)
+        mean = mean_apply(ctx, x[None, :])[0]
+        # log|dx/dz| = sum log sigmoid'(z) — the Uniform prior is constant
+        log_jac = jnp.sum(jnp.log(x) + jnp.log1p(-x))
+        return mean / temp + log_jac
+
+    return apply
+
+
+def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
+                   temp: float = 1.0, dense_mass: bool = True,
+                   max_tree_depth: int = 6, **kwargs) -> Dict:
+    """NUTS samples of the GP-mean posterior; returns the reference's
+    samples_dict schema (x / logp / best / method)."""
+    warmup_steps, num_samples, thinning = get_hmc_settings(
+        ndim=gp.ndim, **{k: v for k, v in kwargs.items()
+                         if k in ("warmup_steps", "num_samples", "thinning")})
+    np_rng = np_rng if np_rng is not None else get_numpy_rng()
+    key = rng_key if rng_key is not None else get_new_jax_key()
+
+    clf = getattr(gp, "_clf_ctx", None)
+    if clf is not None:
+        apply = _nuts_logprob_apply(gp.cfg, True, float(gp.probability_threshold),
+                                    float(gp.minus_inf), gp.clf_type, float(temp))
+        ctx = (gp.state, clf)
+    else:
+        apply = _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp))
+        ctx = gp.state
+
+    # chain inits: random points + the incumbent (reference samplers.py:296-300)
+    inits = [gp.get_random_point(rng=np_rng) for _ in range(max(0, num_chains - 1))]
+    best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
+    inits.append(best_x)
+    inits = np.clip(np.asarray(inits[:num_chains]), 1e-6, 1 - 1e-6)
+    init_z = jnp.asarray(np.log(inits) - np.log1p(-inits))
+
+    keys = jax.random.split(key, num_chains)
+    from functools import partial as _partial
+
+    runner = jax.vmap(
+        _partial(run_chain, apply, num_warmup=int(warmup_steps),
+                 num_samples=int(num_samples), thinning=int(thinning),
+                 dense_mass=dense_mass, max_depth=int(max_tree_depth)),
+        in_axes=(None, 0, 0))
+    zs, logps, diag = runner(ctx, init_z, keys)
+
+    xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
+    # recover the untempered GP mean at the samples (the reference's 'logp'
+    # deterministic, samplers.py:276): subtract the jacobian term
+    mean_apply = _mean_apply(gp.cfg, clf is not None,
+                             float(getattr(gp, "probability_threshold", 0.0)),
+                             float(getattr(gp, "minus_inf", 0.0)),
+                             getattr(gp, "clf_type", "") if clf is not None else "")
+    logp_mean = np.asarray(mean_apply(ctx, xs))
+
+    xs = np.asarray(xs)
+    out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
+           "method": "MCMC",
+           "diagnostics": {k: np.asarray(v) for k, v in diag.items()}}
+    log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
+              f"divergences={int(np.sum(out['diagnostics']['n_divergent']))}")
+    return out

@@ -1,0 +1,190 @@
+"""GP surrogate tests, mirroring the reference's coverage
+(/root/reference/tests/test_gp.py): fit improves MLL, prediction shapes and
+values, update + dedupe, save/load round-trip, copy independence, kernels
+differ — plus padded-buffer invariants unique to this design.
+"""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bobe_tpu.models.gp import GP, _round_capacity
+
+
+def make_data(n=20, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, d))
+    y = -np.sum((x - 0.5) ** 2, axis=1) * 10.0
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def gp20():
+    x, y = make_data()
+    return GP(train_x=x, train_y=y, noise=1e-8, kernel="rbf")
+
+
+def test_init_shapes(gp20):
+    assert gp20.npoints == 20
+    assert gp20.ndim == 2
+    assert gp20.state.cap == _round_capacity(20)
+    assert gp20.train_x.shape == (20, 2)
+    assert gp20.train_y.shape == (20, 1)
+    # standardized targets have ~zero mean / unit std
+    ys = np.asarray(gp20.train_y)
+    np.testing.assert_allclose(ys.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(ys.std(), 1.0, atol=1e-12)
+
+
+def test_predictions_at_training_points(gp20):
+    """GP with tiny noise interpolates the training data.
+
+    Tolerances account for the adaptive jitter ladder: smooth 2-D data makes
+    K near-singular at noise=1e-8, so a relative jitter up to 1e-4*amp may be
+    added (ops/chol.cholesky_jittered) — interpolation error ~sqrt(jitter)."""
+    mean = gp20.predict_mean_batched(gp20.train_x)
+    y_raw = np.asarray(gp20.train_y_raw)
+    np.testing.assert_allclose(np.asarray(mean), y_raw, rtol=5e-3, atol=5e-3)
+    var = gp20.predict_var_batched(gp20.train_x)
+    assert np.all(np.asarray(var) >= 0)
+    assert np.all(np.asarray(var) < 1e-2 * float(gp20.y_std) ** 2)
+
+
+def test_batched_matches_single(gp20):
+    xq = jnp.asarray(np.random.default_rng(1).uniform(size=(7, 2)))
+    mb = np.asarray(gp20.predict_mean_batched(xq))
+    vb = np.asarray(gp20.predict_var_batched(xq))
+    for i in range(7):
+        np.testing.assert_allclose(float(gp20.predict_mean_single(xq[i])), mb[i], rtol=1e-10)
+        np.testing.assert_allclose(float(gp20.predict_var_single(xq[i])), vb[i], rtol=1e-8)
+
+
+def test_fit_improves_mll():
+    x, y = make_data(25, 2, seed=3)
+    gp = GP(train_x=x, train_y=y, lengthscales=jnp.asarray([3.0, 0.02]))
+    before = float(gp.neg_mll(jnp.log(gp.get_hyperparams())))
+    info = gp.fit(n_restarts=4, maxiter=150)
+    after = float(gp.neg_mll(jnp.log(gp.get_hyperparams())))
+    assert after <= before + 1e-3
+    # K is near-singular at noise=1e-8 so the MLL is only determined to
+    # ~cond(K)*eps; compare loosely across separately-compiled paths.
+    assert info["mll"] == pytest.approx(-after, rel=1e-3, abs=1e-2)
+
+
+def test_update_extends_and_dedupes():
+    x, y = make_data(15, 2, seed=5)
+    gp = GP(train_x=x, train_y=y)
+    new_x = jnp.asarray([[0.11, 0.22], [0.33, 0.44]])
+    new_y = jnp.asarray([-1.0, -2.0])
+    gp.update(new_x, new_y)
+    assert gp.npoints == 17
+    # adding the exact same points again is a no-op
+    gp.update(new_x, new_y)
+    assert gp.npoints == 17
+    # one duplicate + one fresh -> only the fresh point lands
+    gp.update(jnp.asarray([[0.11, 0.22], [0.77, 0.88]]), jnp.asarray([-1.0, -3.0]))
+    assert gp.npoints == 18
+    assert np.allclose(np.asarray(gp.train_x[-1]), [0.77, 0.88])
+
+
+def test_incremental_update_matches_full_recompute():
+    """The block Cholesky extension must agree with a from-scratch factor."""
+    x, y = make_data(12, 3, seed=7)
+    gp = GP(train_x=x, train_y=y, kernel="matern")
+    rng = np.random.default_rng(8)
+    for _ in range(3):
+        nx = jnp.asarray(rng.uniform(size=(4, 3)))
+        ny = jnp.asarray(rng.normal(size=4))
+        gp.update(nx, ny)
+    n = gp.npoints
+    L_inc = np.asarray(gp.state.chol)[:n, :n]
+    gp2 = GP(train_x=gp.train_x, train_y=gp.train_y_raw, kernel="matern",
+             lengthscales=gp.lengthscales, kernel_variance=gp.kernel_variance)
+    L_full = np.asarray(gp2.state.chol)[:n, :n]
+    np.testing.assert_allclose(L_inc, L_full, rtol=1e-7, atol=1e-10)
+    # predictions agree too
+    xq = jnp.asarray(rng.uniform(size=(5, 3)))
+    np.testing.assert_allclose(np.asarray(gp.predict_mean_batched(xq)),
+                               np.asarray(gp2.predict_mean_batched(xq)), rtol=1e-7)
+
+
+def test_capacity_growth():
+    x, y = make_data(10, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    cap0 = gp.state.cap
+    rng = np.random.default_rng(10)
+    gp.update(jnp.asarray(rng.uniform(size=(cap0 - 10 + 1, 2))),
+              jnp.asarray(rng.normal(size=cap0 - 10 + 1)))
+    assert gp.state.cap > cap0
+    assert gp.npoints == cap0 + 1
+    # still interpolates (loose: adaptive jitter on near-singular K)
+    mean = gp.predict_mean_batched(gp.train_x[:5])
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(gp.train_y_raw[:5]),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_random_point_in_unit_cube(gp20):
+    for _ in range(5):
+        pt = gp20.get_random_point()
+        assert pt.shape == (2,)
+        assert np.all(pt >= 0) and np.all(pt <= 1)
+
+
+def test_state_dict_save_load_roundtrip(tmp_path, gp20):
+    fn = os.path.join(tmp_path, "gp_test")
+    gp20.save(fn)
+    gp2 = GP.load(fn)
+    assert gp2.npoints == gp20.npoints
+    xq = jnp.asarray(np.random.default_rng(2).uniform(size=(9, 2)))
+    np.testing.assert_allclose(np.asarray(gp20.predict_mean_batched(xq)),
+                               np.asarray(gp2.predict_mean_batched(xq)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp20.predict_var_batched(xq)),
+                               np.asarray(gp2.predict_var_batched(xq)), rtol=1e-6)
+
+
+def test_copy_independent(gp20):
+    gp2 = gp20.copy()
+    n0 = gp20.npoints
+    gp2.update(jnp.asarray([[0.9, 0.9]]), jnp.asarray([-5.0]))
+    assert gp2.npoints == n0 + 1
+    assert gp20.npoints == n0
+
+
+def test_kernels_differ():
+    x, y = make_data(15, 2, seed=11)
+    gp_rbf = GP(train_x=x, train_y=y, kernel="rbf")
+    gp_mat = GP(train_x=x, train_y=y, kernel="matern")
+    xq = jnp.asarray([[0.42, 0.77]])
+    assert not np.allclose(np.asarray(gp_rbf.predict_var_batched(xq)),
+                           np.asarray(gp_mat.predict_var_batched(xq)))
+
+
+def test_fantasy_var_reduces_variance(gp20):
+    rng = np.random.default_rng(12)
+    mc = jnp.asarray(rng.uniform(size=(8, 2)))
+    xnew = jnp.asarray([0.5, 0.5])
+    fv = np.asarray(gp20.fantasy_var(xnew, mc))
+    v0 = np.asarray(gp20.predict_var_batched(mc))
+    assert fv.shape == (8,)
+    assert np.all(fv <= v0 + 1e-12)
+
+
+def test_dslp_prior_and_saas_parse():
+    x, y = make_data(12, 2, seed=13)
+    gp = GP(train_x=x, train_y=y, lengthscale_prior="DSLP")
+    v = float(gp.neg_mll(jnp.log(gp.get_hyperparams())))
+    assert np.isfinite(v)
+    gp_saas = GP(train_x=x, train_y=y, lengthscale_prior="SAAS")
+    assert gp_saas.num_hyperparams == 2 + 1 + 1  # d lengthscales + amp + tausq
+    v2 = float(gp_saas.neg_mll(jnp.log(gp_saas.get_hyperparams())))
+    assert np.isfinite(v2)
+
+
+def test_fixed_kernel_variance():
+    x, y = make_data(12, 2, seed=14)
+    gp = GP(train_x=x, train_y=y, kernel_variance=2.5,
+            kernel_variance_prior="fixed")
+    assert gp.num_hyperparams == 2
+    gp.fit(n_restarts=2, maxiter=50)
+    assert gp.kernel_variance == pytest.approx(2.5)
