@@ -4,14 +4,53 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of Ameek94/BOBE:
 Gaussian-process surrogate modelling of expensive log-likelihoods, evidence-
 weighted acquisition, and fully on-device nested sampling / NUTS over the
 surrogate to produce the Bayesian evidence (logZ) and posterior samples.
+
+Public facade mirrors the reference package exports
+(/root/reference/BOBE/__init__.py:41-95).
 """
-from . import config  # noqa: F401  (enables x64, sets dtype policy)
+from . import config  # noqa: F401  (enables x64, sets dtype policy, comp cache)
 from .utils.log import setup_logging
 
 setup_logging("INFO")
 
-from .models.gp import GP  # noqa: E402,F401
+from .acquisition import (  # noqa: E402,F401
+    EI,
+    WIPV,
+    AcquisitionFunction,
+    LogEI,
+    WIPStd,
+    get_mc_points,
+    get_mc_samples,
+)
+from .bo import BOBE, load_gp_file  # noqa: E402,F401
+from .likelihood import CobayaLikelihood, Likelihood  # noqa: E402,F401
+from .models.classifiers import CLASSIFIER_REGISTRY  # noqa: E402,F401
+from .models.clf_gp import GPwithClassifier  # noqa: E402,F401
+from .models.gp import GP, GPState, GPTrainConfig  # noqa: E402,F401
+from .samplers import nested_sampling, sample_gp_nuts  # noqa: E402,F401
+from .utils.results import BOBEResults  # noqa: E402,F401
 
 __version__ = "0.1.0"
 
-__all__ = ["GP", "config"]
+__all__ = [
+    "BOBE",
+    "GP",
+    "GPState",
+    "GPTrainConfig",
+    "GPwithClassifier",
+    "Likelihood",
+    "CobayaLikelihood",
+    "EI",
+    "LogEI",
+    "WIPV",
+    "WIPStd",
+    "AcquisitionFunction",
+    "BOBEResults",
+    "CLASSIFIER_REGISTRY",
+    "nested_sampling",
+    "sample_gp_nuts",
+    "get_mc_samples",
+    "get_mc_points",
+    "load_gp_file",
+    "config",
+]

@@ -1,0 +1,696 @@
+"""BOBE orchestrator: the Bayesian-Optimisation-for-Bayesian-Evidence loop.
+
+API-compatible re-design of the reference driver (/root/reference/BOBE/bo.py):
+construct with a likelihood (callable / Cobaya YAML / dict / Likelihood), call
+``run()`` and receive logZ + posterior samples computed on a GP surrogate that
+is actively refined by evidence-weighted acquisition.
+
+Key behavioural contracts kept from the reference:
+* initial design = Sobol (+ Cobaya reference draws + user points), deduped,
+  scaled to the unit cube (bo.py:416-503);
+* adaptive refit schedule by training-set size (bo.py:639-653);
+* WIP loop: NUTS/NS/uniform MC pools, greedy batches, NS-on-schedule with
+  logZ-bound convergence delta=(upper-lower)/2 < threshold for
+  convergence_n_iters successive checks (bo.py:869-961, 1263-1343);
+* EI loop: acq-value goal convergence (bo.py:838-867, 1174-1224);
+* checkpoint on new-best delta, intermediate saves, resume short-circuit.
+
+TPU-native differences:
+* GP fits/acquisition/NS/NUTS all run on device with cached jitted cores —
+  there is no per-iteration ``clear_jax_caches`` because padded static shapes
+  never grow the compiled program (the reference recompiled every iteration,
+  bo.py:1336).
+* The MPI pool is replaced by parallel/pool.py (serial / multiprocess /
+  jax.distributed) used ONLY for true-likelihood evaluations.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .acquisition import EI, WIPV, LogEI, WIPStd, get_mc_samples
+from .likelihood import CobayaLikelihood, Likelihood
+from .models.clf_gp import GPwithClassifier
+from .models.gp import GP
+from .parallel.pool import EvalPool, make_pool
+from .samplers import nested_sampling, sample_gp_nuts
+from .utils.core import (
+    get_threshold_for_nsigma,
+    kl_divergence_gaussian,
+    resample_equal,
+    scale_from_unit,
+    scale_to_unit,
+)
+from .utils.log import get_logger, update_verbosity
+from .utils.results import BOBEResults
+from .utils.seed import get_jax_key, get_numpy_rng, set_global_seed
+
+log = get_logger("bo")
+
+_ACQ_FUNCS = {"wipv": WIPV, "ei": EI, "logei": LogEI, "wipstd": WIPStd}
+
+
+def load_gp_file(filename: str, clf: bool):
+    return GPwithClassifier.load(filename) if clf else GP.load(filename)
+
+
+class BOBE:
+    """Bayesian evidence via GP-surrogate Bayesian optimization."""
+
+    def __init__(self,
+                 loglikelihood: Union[Callable, str, Dict[str, Any], Likelihood],
+                 param_list: Optional[List[str]] = None,
+                 param_bounds=None,
+                 param_labels: Optional[List[str]] = None,
+                 likelihood_name: Optional[str] = None,
+                 confidence_for_unbounded: float = 0.9999995,
+                 gp_kwargs: Optional[Dict[str, Any]] = None,
+                 n_cobaya_init: int = 4,
+                 n_sobol_init: int = 16,
+                 init_train_x=None,
+                 init_train_y=None,
+                 resume: bool = False,
+                 resume_file: Optional[str] = None,
+                 save_dir: str = ".",
+                 save: bool = True,
+                 save_step: int = 5,
+                 optimizer: str = "lbfgs",
+                 acq: str = "WIPV",
+                 use_clf: bool = False,
+                 clf_type: str = "svm",
+                 clf_nsigma_threshold: float = 20,
+                 clf_use_size: int = 10,
+                 clf_update_step: int = 1,
+                 minus_inf: float = -1e10,
+                 seed: Optional[int] = None,
+                 verbosity: str = "INFO",
+                 pool: Union[str, EvalPool] = "auto"):
+        update_verbosity(verbosity)
+
+        self.pool = make_pool(pool) if isinstance(pool, str) else pool
+        self.is_main = self.pool.is_main_process
+
+        self.loglikelihood = self._prepare_likelihood(
+            loglikelihood, param_list, param_bounds, param_labels,
+            likelihood_name, confidence_for_unbounded, minus_inf)
+        self.ndim = len(self.loglikelihood.param_list)
+
+        if not self.is_main:
+            # distributed worker ranks serve likelihood evaluations forever
+            set_global_seed(seed)
+            self.pool.worker_loop(self.loglikelihood)
+            return
+
+        self._setup_main_process(seed, optimizer, save, save_dir, save_step,
+                                 n_cobaya_init, n_sobol_init, acq, use_clf,
+                                 clf_type, clf_nsigma_threshold, minus_inf,
+                                 resume)
+        if resume and resume_file is not None:
+            self._handle_resume(resume_file, use_clf)
+        if self.fresh_start:
+            self._handle_fresh_start(
+                n_cobaya_init, n_sobol_init, init_train_x, init_train_y,
+                use_clf, clf_type, clf_use_size, clf_update_step,
+                clf_nsigma_threshold, minus_inf, optimizer, dict(gp_kwargs or {}))
+
+        # best-point bookkeeping
+        if self.gp.train_y.size > 0:
+            idx = int(jnp.argmax(self.gp.train_y))
+            self.best_pt = np.asarray(scale_from_unit(
+                np.asarray(self.gp.train_x[idx]),
+                self.loglikelihood.param_bounds)).reshape(-1)
+            best_from_gp = float(self.gp.train_y_raw.max())
+        else:
+            best_from_gp, self.best_pt = -np.inf, None
+        if not hasattr(self, "best_f") or best_from_gp > getattr(self, "best_f", -np.inf):
+            self.best_f = best_from_gp
+            if not hasattr(self, "best_pt_iteration"):
+                self.best_pt_iteration = self.start_iteration
+        if self.best_pt is not None:
+            self.best = {n: f"{float(v):.6f}"
+                         for n, v in zip(self.loglikelihood.param_list, self.best_pt)}
+            log.info(f"Initial best point {self.best} with value = {self.best_f:.6f}")
+        if self.save:
+            self.gp.save(f"{self.save_path}_gp")
+        self.prev_samples = None
+
+    # ------------------------------------------------------------------ init
+
+    def _prepare_likelihood(self, loglikelihood, param_list, param_bounds,
+                            param_labels, likelihood_name,
+                            confidence_for_unbounded, minus_inf) -> Likelihood:
+        if isinstance(loglikelihood, Likelihood):
+            return loglikelihood
+        if isinstance(loglikelihood, (str, dict)):
+            return CobayaLikelihood(
+                input_file_dict=loglikelihood,
+                confidence_for_unbounded=confidence_for_unbounded,
+                minus_inf=minus_inf,
+                name=likelihood_name or "CobayaLikelihood")
+        if callable(loglikelihood):
+            return Likelihood(loglikelihood=loglikelihood, param_list=param_list,
+                              param_bounds=param_bounds, param_labels=param_labels,
+                              name=likelihood_name, minus_inf=minus_inf)
+        raise ValueError("loglikelihood must be a callable, Cobaya YAML path, "
+                         "Cobaya info dict, or Likelihood instance")
+
+    def _setup_main_process(self, seed, optimizer, save, save_dir, save_step,
+                            n_cobaya_init, n_sobol_init, acq, use_clf, clf_type,
+                            clf_nsigma_threshold, minus_inf, resume):
+        set_global_seed(seed)
+        self.np_rng = get_numpy_rng()
+        self.output_file = self.loglikelihood.name
+        self.save, self.save_step, self.save_dir = save, save_step, save_dir
+        if self.save:
+            os.makedirs(self.save_dir, exist_ok=True)
+        self.save_path = os.path.join(self.save_dir, self.output_file)
+        self.optimizer = optimizer
+        self.minus_inf = minus_inf
+        self.results_manager = BOBEResults(
+            output_file=self.output_file, save_dir=self.save_dir,
+            param_names=self.loglikelihood.param_list,
+            param_labels=self.loglikelihood.param_labels,
+            param_bounds=self.loglikelihood.param_bounds,
+            settings={"n_cobaya_init": n_cobaya_init, "n_sobol_init": n_sobol_init,
+                      "acq": acq, "use_clf": use_clf, "clf_type": clf_type,
+                      "clf_nsigma_threshold": clf_nsigma_threshold,
+                      "minus_inf": minus_inf, "seed": seed},
+            likelihood_name=self.loglikelihood.name,
+            resume_from_existing=resume)
+        self.fresh_start = not resume
+        self.start_iteration = 0
+        self.best_pt_iteration = 0
+        self.prev_converged = False
+        self.prev_convergence_delta = None
+        self.prev_convergence_threshold = None
+
+    def _handle_resume(self, resume_file, use_clf):
+        gp_file = resume_file + "_gp"
+        try:
+            log.info(f"Attempting to resume from {gp_file}")
+            self.gp = load_gp_file(gp_file, use_clf)
+            _ = self.gp.predict_mean_single(self.gp.train_x[0])
+            log.info(f"Loaded GP with {self.gp.npoints} points")
+            if self.results_manager.is_resuming():
+                self.start_iteration = self.results_manager.get_last_iteration()
+                if self.results_manager.best_loglike_values:
+                    self.best_f = max(self.results_manager.best_loglike_values)
+                    i = self.results_manager.best_loglike_values.index(self.best_f)
+                    self.best_pt_iteration = self.results_manager.best_loglike_iterations[i]
+                if self.results_manager.converged and self.results_manager.convergence_history:
+                    last = self.results_manager.convergence_history[-1]
+                    self.prev_converged = True
+                    self.prev_convergence_delta = last.delta
+                    self.prev_convergence_threshold = last.threshold
+                    log.info(f"Previous run converged with delta={last.delta:.6f}")
+            self.fresh_start = False
+        except Exception as e:
+            log.error(f"Failed to resume from {gp_file}: {e}; starting fresh")
+            self.fresh_start = True
+
+    def _handle_fresh_start(self, n_cobaya_init, n_sobol_init, init_train_x,
+                            init_train_y, use_clf, clf_type, clf_use_size,
+                            clf_update_step, clf_nsigma_threshold, minus_inf,
+                            optimizer, gp_kwargs):
+        train_x, train_y = self._get_initial_training_data(
+            n_cobaya_init, n_sobol_init, init_train_x, init_train_y)
+        self._initialize_gp(train_x, train_y, use_clf, clf_type, clf_use_size,
+                            clf_update_step, clf_nsigma_threshold, minus_inf,
+                            optimizer, gp_kwargs)
+
+    def _get_initial_training_data(self, n_cobaya_init, n_sobol_init,
+                                   init_train_x=None, init_train_y=None):
+        if n_sobol_init + n_cobaya_init == 0:
+            raise ValueError("Need n_sobol_init or n_cobaya_init > 0")
+        pts, vals = self._generate_sobol_points(n_sobol_init)
+        if isinstance(self.loglikelihood, CobayaLikelihood) and n_cobaya_init > 0:
+            tuples = self.pool.get_cobaya_initial_points(
+                self.loglikelihood, n_cobaya_init, rng=self.np_rng)
+            cpts = np.asarray([p for p, _ in tuples])
+            cvals = np.asarray([[v] for _, v in tuples])
+            pts = np.vstack([pts, cpts])
+            vals = np.vstack([vals, cvals])
+        if init_train_x is not None and init_train_y is not None:
+            ix = np.atleast_2d(np.asarray(init_train_x))
+            iy = np.atleast_2d(np.asarray(init_train_y)).reshape(-1, 1)
+            if ix.shape[0] != iy.shape[0] or ix.shape[1] != self.ndim:
+                raise ValueError("init_train_x/init_train_y shape mismatch")
+            log.info(f"Adding {len(ix)} user-provided initial points")
+            pts = np.vstack([pts, ix])
+            vals = np.vstack([vals, iy])
+        elif (init_train_x is None) != (init_train_y is None):
+            raise ValueError("init_train_x and init_train_y must come together")
+        # dedupe
+        uniq, idx = np.unique(pts, axis=0, return_index=True)
+        if len(uniq) < len(pts):
+            log.warning(f"Removed {len(pts) - len(uniq)} duplicate initial points")
+            pts, vals = pts[np.sort(idx)], vals[np.sort(idx)]
+        self.results_manager.end_timing("True Objective Evaluations")
+        return (jnp.asarray(scale_to_unit(pts, self.loglikelihood.param_bounds)),
+                jnp.asarray(vals).reshape(-1))
+
+    def _generate_sobol_points(self, n_sobol_init):
+        from scipy.stats import qmc
+
+        n = max(2, n_sobol_init)
+        self.results_manager.start_timing("True Objective Evaluations")
+        unit = qmc.Sobol(d=self.ndim, scramble=True, rng=self.np_rng).random(n)
+        pts = scale_from_unit(unit, self.loglikelihood.param_bounds)
+        log.info(f"Evaluating {n} Sobol initial points")
+        vals = self.pool.run_map_objective(self.loglikelihood, pts)
+        return np.asarray(pts), np.atleast_2d(np.asarray(vals)).reshape(-1, 1)
+
+    def _initialize_gp(self, train_x, train_y, use_clf, clf_type, clf_use_size,
+                       clf_update_step, clf_nsigma_threshold, minus_inf,
+                       optimizer, gp_kwargs):
+        gp_kwargs.update({"train_x": train_x, "train_y": train_y,
+                          "param_names": self.loglikelihood.param_list,
+                          "optimizer": optimizer})
+        if use_clf:
+            clf_threshold = max(75.0, get_threshold_for_nsigma(
+                clf_nsigma_threshold, self.ndim))
+            gp_kwargs.update({
+                "clf_type": clf_type, "clf_use_size": clf_use_size,
+                "clf_update_step": clf_update_step,
+                "probability_threshold": 0.5, "minus_inf": minus_inf,
+                "clf_threshold": clf_threshold,
+                "gp_threshold": 2 * clf_threshold})
+            self.gp = GPwithClassifier(**gp_kwargs)
+        else:
+            self.gp = GP(**gp_kwargs)
+        self.results_manager.start_timing("GP Training")
+        log.info(f"Hyperparameters before refit: {self.gp.hyperparams_dict()}")
+        self.gp.fit(n_restarts=4, maxiter=500, rng=self.np_rng)
+        log.info(f"Hyperparameters after refit: {self.gp.hyperparams_dict()}")
+        self.results_manager.end_timing("GP Training")
+
+    # --------------------------------------------------------------- helpers
+
+    def update_gp(self, new_pts_u, new_vals, step=0, verbose=True):
+        """Add data + adaptive refit schedule (reference bo.py:621-678)."""
+        self.results_manager.start_timing("GP Training")
+        self.n_points_since_last_fit += new_pts_u.shape[0]
+        n = self.gp.npoints
+        if n < 200:
+            refit_threshold, maxiter, n_restarts = min(2, self.fit_n_points), 1000, 8
+        elif n < 750:
+            refit_threshold, maxiter, n_restarts = self.fit_n_points, 500, 4
+        else:
+            refit_threshold, maxiter, n_restarts = max(40, self.fit_n_points), 200, 4
+
+        self.gp.update(jnp.asarray(new_pts_u), jnp.asarray(new_vals).reshape(-1))
+        if self.n_points_since_last_fit >= refit_threshold:
+            log.info(f"Refitting GP hyperparameters with {self.gp.npoints} points")
+            self.gp.fit(n_restarts=n_restarts, maxiter=maxiter, rng=self.np_rng)
+            self.n_points_since_last_fit = 0
+        self.results_manager.end_timing("GP Training")
+
+        self.results_manager.update_gp_hyperparams(
+            step, [float(v) for v in self.gp.lengthscales],
+            float(self.gp.kernel_variance))
+        if isinstance(self.gp, GPwithClassifier):
+            self.results_manager.start_timing("Classifier Training")
+            self.gp.train_classifier()
+            self.results_manager.end_timing("Classifier Training")
+
+    def get_next_batch(self, acq_kwargs, n_batch, n_restarts, maxiter,
+                       early_stop_patience, step, verbose=True):
+        self.results_manager.start_timing("Acquisition Optimization")
+        log.info(f"Optimizing acquisition '{self.acquisition.name}' "
+                 f"for the next {n_batch} point(s)")
+        new_pts_u, acq_vals = self.acquisition.get_next_batch(
+            gp=self.gp, n_batch=n_batch, acq_kwargs=acq_kwargs,
+            n_restarts=n_restarts, maxiter=maxiter,
+            early_stop_patience=early_stop_patience, rng=self.np_rng)
+        self.results_manager.end_timing("Acquisition Optimization")
+        acq_val = float(np.mean(acq_vals))
+        if verbose:
+            log.info(f"Mean acquisition value {acq_val:.4e} at new points")
+        self.results_manager.update_acquisition(step, acq_val, self.acquisition.name)
+        return np.atleast_2d(new_pts_u), np.asarray(acq_vals)
+
+    def evaluate_likelihood(self, new_pts_u, step, verbose=True):
+        new_pts_u = np.atleast_2d(np.asarray(new_pts_u))
+        new_pts = scale_from_unit(new_pts_u, self.loglikelihood.param_bounds)
+        self.results_manager.start_timing("True Objective Evaluations")
+        new_vals = np.asarray(
+            self.pool.run_map_objective(self.loglikelihood, new_pts)).reshape(-1)
+        self.results_manager.end_timing("True Objective Evaluations")
+
+        i_best = int(np.argmax(new_vals))
+        if float(new_vals[i_best]) > self.best_f:
+            self.best_f = float(new_vals[i_best])
+            self.best_pt = np.asarray(new_pts[i_best]).reshape(-1)
+            self.best = {n: f"{float(v):.6f}" for n, v in
+                         zip(self.loglikelihood.param_list, self.best_pt)}
+            self.best_pt_iteration = step
+        log.info(f"Evaluated objective at {len(new_pts)} new points "
+                 f"(best this batch: {new_vals[i_best]:.4f})")
+        return new_vals
+
+    def check_max_evals_and_gpsize(self, current_evals) -> bool:
+        if current_evals >= self.max_evals:
+            self.termination_reason = "Maximum evaluations reached"
+            self.results_dict["termination_reason"] = self.termination_reason
+            return True
+        if self.gp.npoints >= self.max_gp_size:
+            self.termination_reason = "Maximum GP size reached"
+            self.results_dict["termination_reason"] = self.termination_reason
+            return True
+        return False
+
+    def check_convergence_ei(self, step, acq_val) -> bool:
+        val = np.asarray(acq_val, dtype=np.float64).reshape(-1)[-1]
+        if self.acquisition.name.lower() == "ei":
+            val = np.log(val + 1e-100)
+        if val < self.ei_goal_log:
+            self.convergence_counter += 1
+            if self.convergence_counter >= self.convergence_n_iters:
+                log.info(f"{self.acquisition.name} convergence achieved after "
+                         f"{self.convergence_n_iters} successive iterations")
+                return True
+            log.info(f"{self.acquisition.name} convergence iteration "
+                     f"{self.convergence_counter}/{self.convergence_n_iters}")
+            return False
+        self.convergence_counter = 0
+        return False
+
+    def check_convergence_logz(self, step, logz_dict, equal_samples, equal_logl,
+                               verbose=True, save_checkpoint=True) -> bool:
+        delta = (logz_dict["upper"] - logz_dict["lower"]) / 2.0
+        delta_crosscheck = logz_dict.get("std", np.inf)
+        converged = delta < self.logz_threshold
+
+        equal_samples = scale_from_unit(np.asarray(equal_samples),
+                                        self.loglikelihood.param_bounds)
+        if self.prev_samples is not None:
+            prev = self.prev_samples["x"]
+            kl = kl_divergence_gaussian(
+                np.mean(prev, 0), np.atleast_2d(np.cov(prev, rowvar=False)),
+                np.mean(equal_samples, 0),
+                np.atleast_2d(np.cov(equal_samples, rowvar=False)))
+            log.info(f"Successive KL: symmetric={kl.get('symmetric', 0):.4f}")
+            self.results_manager.update_kl_divergences(step, kl)
+        self.prev_samples = {"x": equal_samples, "logl": np.asarray(equal_logl)}
+
+        self.results_manager.update_convergence(step, logz_dict, converged,
+                                                self.logz_threshold)
+        log.info(f"Convergence check: delta = {delta:.4f}, step = {step}, "
+                 f"threshold = {self.logz_threshold}")
+        if converged:
+            self.convergence_counter += 1
+            if self.convergence_counter >= self.convergence_n_iters:
+                log.info("LogZ convergence achieved")
+            else:
+                log.info(f"Convergence iteration "
+                         f"{self.convergence_counter}/{self.convergence_n_iters}")
+                converged = False
+        else:
+            self.convergence_counter = 0
+
+        if (delta < self.min_delta_seen and delta_crosscheck < 1.0
+                and save_checkpoint and self.save):
+            self.min_delta_seen = delta
+            ckpt = f"{self.output_file}_checkpoint"
+            if not converged:
+                self.results_manager.save_intermediate(gp=self.gp, filename=ckpt)
+                self.results_manager.save_chain_files(self.ns_samples, filename=ckpt)
+                if verbose:
+                    log.info(f"New minimum delta {delta:.4f}; checkpoint saved")
+        return converged
+
+    def finalise_results(self):
+        gp_info = {"gp_training_set_size": int(self.gp.npoints),
+                   "gp_final_best_loglike": float(self.best_f)}
+        if isinstance(self.gp, GPwithClassifier):
+            gp_info.update({
+                "classifier_used": bool(self.gp.use_clf),
+                "classifier_type": str(self.gp.clf_type),
+                "classifier_training_set_size": int(self.gp.clf_data_size),
+                "classifier_use_threshold": int(self.gp.clf_use_size),
+                "classifier_probability_threshold": float(self.gp.probability_threshold)})
+        else:
+            gp_info.update({"classifier_used": False, "classifier_type": None,
+                            "classifier_training_set_size": 0})
+        logz_dict = self.results_dict.get("logz", {})
+        if not logz_dict:
+            log.warning("No logz information found; nested sampling never ran")
+        self.results_manager.finalize(
+            samples_dict=self.samples_dict or {}, logz_dict=logz_dict,
+            converged=self.converged, termination_reason=self.termination_reason,
+            gp_info=gp_info)
+        self.results_dict = {
+            "gp": self.gp, "likelihood": self.loglikelihood,
+            "results_manager": self.results_manager, "best_val": self.best_f,
+            "best_pt": self.best_pt, "logz": logz_dict,
+            "termination_reason": self.termination_reason,
+            "samples": self.samples_dict}
+
+    # -------------------------------------------------------------- main run
+
+    def run(self, acq: Union[str, Tuple[str, ...]] = "wipstd",
+            min_evals: int = 200, max_evals: int = 1500,
+            max_gp_size: int = 1200, logz_threshold: float = 0.01,
+            convergence_n_iters: int = 1, ei_goal: float = 1e-10,
+            do_final_ns: bool = False, fit_n_points: int = 10,
+            batch_size: int = 4, ns_n_points: int = 10,
+            num_hmc_warmup: int = 512, num_hmc_samples: int = 512,
+            mc_points_size: int = 64, thinning: int = 4, num_chains: int = 4,
+            mc_points_method: str = "NUTS", zeta_ei: float = 0.01):
+        if not self.is_main:
+            return None
+
+        self.min_evals, self.max_evals = min_evals, max_evals
+        self.max_gp_size, self.logz_threshold = max_gp_size, logz_threshold
+        self.samples_dict, self.results_dict = {}, {}
+
+        # resume short-circuit (reference bo.py:1047-1078)
+        if self.prev_converged and self.prev_convergence_delta is not None:
+            if self.prev_convergence_delta < logz_threshold:
+                log.info("Previous run already converged below the new "
+                         "threshold; skipping the BO loop")
+                self.converged = True
+                self.termination_reason = "Already converged in previous run"
+                if self.results_manager.convergence_history:
+                    self.results_dict["logz"] = dict(
+                        self.results_manager.convergence_history[-1].logz_dict)
+                if self.results_manager.final_samples is not None:
+                    self.samples_dict = {
+                        "x": self.results_manager.final_samples,
+                        "weights": self.results_manager.final_weights,
+                        "logl": self.results_manager.final_loglikes}
+                self.finalise_results()
+                self.pool.close()
+                return self.results_dict
+            log.info("Previous run converged above the new threshold; continuing")
+
+        self.convergence_n_iters = convergence_n_iters
+        self.ei_goal_log = np.log(ei_goal)
+        self.do_final_ns = do_final_ns
+        self.fit_n_points, self.ns_n_points = fit_n_points, ns_n_points
+        self.batch_size = batch_size
+        self.n_points_since_last_fit = 0
+        self.n_points_since_last_ns = 0
+        self.num_hmc_warmup, self.num_hmc_samples = num_hmc_warmup, num_hmc_samples
+        self.mc_points_size, self.hmc_thinning = mc_points_size, thinning
+        self.hmc_num_chains, self.mc_points_method = num_chains, mc_points_method
+        self.zeta_ei = zeta_ei
+
+        # distributed load balancing: round batch to the pool size
+        if self.pool.is_distributed:
+            n_proc = self.pool.size
+            if self.batch_size % n_proc != 0:
+                self.batch_size = max((self.batch_size // n_proc) * n_proc, n_proc)
+                log.info(f"Adjusted batch_size to {self.batch_size} "
+                         f"(multiple of {n_proc} processes)")
+
+        self.converged = False
+        self.convergence_counter = 0
+        self.min_delta_seen = np.inf
+        self.termination_reason = "Max evaluation budget reached"
+        self.results_manager.settings.update({
+            "min_evals": min_evals, "max_evals": max_evals,
+            "max_gp_size": max_gp_size, "logz_threshold": logz_threshold,
+            "convergence_n_iters": convergence_n_iters, "ei_goal": ei_goal,
+            "do_final_ns": do_final_ns, "fit_n_points": fit_n_points,
+            "batch_size": self.batch_size, "ns_n_points": ns_n_points,
+            "num_hmc_warmup": num_hmc_warmup, "num_hmc_samples": num_hmc_samples,
+            "mc_points_size": mc_points_size, "thinning": thinning,
+            "num_chains": num_chains, "mc_points_method": mc_points_method,
+            "zeta_ei": zeta_ei})
+
+        acqs = [acq] if isinstance(acq, str) else list(acq)
+        self.current_iteration = self.start_iteration
+        for a in acqs:
+            if a.lower() not in _ACQ_FUNCS:
+                raise ValueError(f"Invalid acquisition '{a}'; options: "
+                                 f"{list(_ACQ_FUNCS)}")
+            self.acquisition = _ACQ_FUNCS[a.lower()](optimizer=self.optimizer)
+            if a.lower() in ("wipv", "wipstd"):
+                self.run_weighted_integrated_posterior(
+                    _ACQ_FUNCS[a.lower()], ii=self.current_iteration)
+            else:
+                self.run_EI(ii=self.current_iteration)
+
+        log.info(f"Final best point {self.best} with value = {self.best_f:.6f} "
+                 f"(iteration {self.best_pt_iteration})")
+        log.info(f"Sampling stopped: {self.termination_reason}")
+        self.finalise_results()
+        self.pool.close()
+        return self.results_dict
+
+    # ----------------------------------------------------------------- loops
+
+    def run_EI(self, ii: int = 0):
+        current_evals = self.gp.npoints
+        converged = False
+        while not converged:
+            ii += 1
+            log.info(f"Iteration {ii} of {self.acquisition.name}, "
+                     f"objective evals {current_evals}/{self.max_evals}")
+            best_y = float(jnp.max(self.gp.train_y)) if self.gp.train_y.size else 0.0
+            acq_kwargs = {"zeta": self.zeta_ei, "best_y": best_y}
+            new_pts_u, acq_vals = self.get_next_batch(
+                acq_kwargs, n_batch=1, n_restarts=50, maxiter=1000,
+                early_stop_patience=50, step=ii)
+            new_vals = self.evaluate_likelihood(new_pts_u, ii)
+            current_evals += 1
+            self.update_gp(new_pts_u, new_vals, step=ii)
+            self.results_manager.update_best_loglike(ii, self.best_f)
+            converged = self.check_convergence_ei(ii, acq_vals)
+            if self.save and ii % self.save_step == 0:
+                self.results_manager.save_intermediate(gp=self.gp)
+            if converged:
+                self.termination_reason = f"{self.acquisition.name.upper()} goal reached"
+                self.results_dict["termination_reason"] = self.termination_reason
+                break
+            if self.check_max_evals_and_gpsize(current_evals):
+                break
+        self.current_iteration = ii
+
+    def _refresh_mc_samples(self):
+        self.results_manager.start_timing("MCMC Sampling")
+        self.mc_samples = get_mc_samples(
+            self.gp, warmup_steps=self.num_hmc_warmup,
+            num_samples=self.num_hmc_samples, thinning=self.hmc_thinning,
+            num_chains=self.hmc_num_chains, np_rng=self.np_rng,
+            rng_key=get_jax_key(), method=self.mc_points_method)
+        self.results_manager.end_timing("MCMC Sampling")
+
+    def run_weighted_integrated_posterior(self, acq_func_class, ii: int = 0):
+        self.acquisition = acq_func_class(optimizer=self.optimizer)
+        acq_name = self.acquisition.name
+        current_evals = self.gp.npoints
+        self._refresh_mc_samples()
+        self.ns_samples = None
+        ns_success = False
+        logz_keys = ["mean", "upper", "lower", "dlogz_sampler"]
+
+        while not self.converged:
+            ii += 1
+            self.n_points_since_last_ns += self.batch_size
+            ns_flag = (self.n_points_since_last_ns >= self.ns_n_points
+                       and current_evals >= self.min_evals)
+            log.info(f"Iteration {ii} of {acq_name}, objective evals "
+                     f"{current_evals}/{self.max_evals}")
+
+            acq_kwargs = {"mc_samples": self.mc_samples,
+                          "mc_points_size": self.mc_points_size}
+            new_pts_u, acq_vals = self.get_next_batch(
+                acq_kwargs, n_batch=self.batch_size, n_restarts=1, maxiter=100,
+                early_stop_patience=10, step=ii)
+            new_vals = self.evaluate_likelihood(new_pts_u, ii)
+            current_evals += self.batch_size
+            self.update_gp(new_pts_u, new_vals, step=ii)
+            self.results_manager.update_best_loglike(ii, self.best_f)
+
+            if ns_flag and (acq_vals[-1] <= self.logz_threshold):
+                self.results_manager.start_timing("Nested Sampling")
+                ns_samples, logz_dict, ns_success = nested_sampling(
+                    gp=self.gp, mode="convergence", dlogz=0.01,
+                    maxcall=int(5e6), equal_weights=False, rng=self.np_rng)
+                self.results_manager.end_timing("Nested Sampling")
+                logz_str = ", ".join(f"{k}={logz_dict[k]:.4f}"
+                                     for k in logz_keys if k in logz_dict)
+                log.info(f"NS success = {ns_success}, LogZ info: {logz_str}")
+                self.ns_samples = ns_samples
+                if ns_success:
+                    eq_x, eq_l = resample_equal(
+                        ns_samples["x"], ns_samples["logl"],
+                        weights=ns_samples["weights"], rng=self.np_rng)
+                    self.mc_samples = {"x": eq_x, "logl": eq_l,
+                                       "weights": np.ones(eq_x.shape[0]),
+                                       "method": "NS", "best": ns_samples["best"]}
+                    self.results_dict["logz"] = logz_dict
+                    self.converged = self.check_convergence_logz(ii, logz_dict,
+                                                                 eq_x, eq_l)
+                    if self.converged:
+                        self.termination_reason = "LogZ converged"
+                        self.results_dict["termination_reason"] = self.termination_reason
+                self.n_points_since_last_ns = 0
+            else:
+                self._refresh_mc_samples()
+
+            log.info(f"Current best point {self.best} with value = "
+                     f"{self.best_f:.6f} (iteration {self.best_pt_iteration})")
+            if self.save and ii % self.save_step == 0:
+                self.results_manager.save_intermediate(gp=self.gp)
+            if self.converged:
+                break
+            if self.check_max_evals_and_gpsize(current_evals):
+                break
+
+        self.current_iteration = ii
+
+        if self.do_final_ns and not self.converged:
+            self.results_manager.start_timing("GP Training")
+            self.gp.fit(n_restarts=4, maxiter=500, rng=self.np_rng)
+            self.results_manager.end_timing("GP Training")
+            log.info("Final Nested Sampling")
+            self.results_manager.start_timing("Nested Sampling")
+            self.ns_samples, logz_dict, ns_success = nested_sampling(
+                gp=self.gp, mode="convergence", dlogz=0.01, maxcall=int(5e6),
+                rng=self.np_rng)
+            self.results_manager.end_timing("Nested Sampling")
+            log.info("Final LogZ: " + ", ".join(
+                f"{k}={logz_dict[k]:.4f}" for k in logz_keys if k in logz_dict))
+            if ns_success:
+                eq_x, eq_l = resample_equal(
+                    self.ns_samples["x"], self.ns_samples["logl"],
+                    weights=self.ns_samples["weights"], rng=self.np_rng)
+                self.check_convergence_logz(ii + 1, logz_dict, eq_x, eq_l,
+                                            save_checkpoint=False)
+                self.results_dict["logz"] = logz_dict
+                if self.converged:
+                    self.termination_reason = "LogZ converged"
+                    self.results_dict["termination_reason"] = self.termination_reason
+
+        if self.ns_samples is not None and ns_success:
+            samples = self.ns_samples["x"]
+            weights = self.ns_samples["weights"]
+            loglikes = self.ns_samples["logl"]
+        else:
+            log.info("No successful NS results; falling back to NUTS samples")
+            self.results_manager.start_timing("MCMC Sampling")
+            mc = get_mc_samples(self.gp, warmup_steps=512,
+                                num_samples=2000 * self.ndim, thinning=4,
+                                method="NUTS", np_rng=self.np_rng,
+                                rng_key=get_jax_key())
+            self.results_manager.end_timing("MCMC Sampling")
+            samples = mc["x"]
+            weights = mc.get("weights", np.ones(mc["x"].shape[0]))
+            loglikes = mc["logp"]
+
+        samples = scale_from_unit(np.asarray(samples),
+                                  self.loglikelihood.param_bounds)
+        self.samples_dict = {"x": samples, "weights": np.asarray(weights),
+                             "logl": np.asarray(loglikes)}
+
+    def run_WIPStd(self, ii: int = 0):
+        return self.run_weighted_integrated_posterior(WIPStd, ii)
+
+    def run_WIPV(self, ii: int = 0):
+        return self.run_weighted_integrated_posterior(WIPV, ii)

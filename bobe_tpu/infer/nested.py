@@ -136,7 +136,7 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
 
         rep_keys = random.split(k_loop, n_repeats)
         (x_new, l_new), its = lax.scan(one_repeat, (x_cur, l_cur), rep_keys)
-        calls = jnp.sum(its) * K
+        calls = (jnp.sum(its) * K).astype(jnp.int64)
         return x_new, l_new, calls
 
     def body(c):
@@ -152,7 +152,8 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
         lv_batch = logvol - hs  # (K,)
         dx = live_x[kill_idx]
         dl = live_logl[kill_idx]
-        dead_x = lax.dynamic_update_slice(dead_x, dx, (n_dead, 0))
+        zero = jnp.zeros((), dtype=n_dead.dtype)
+        dead_x = lax.dynamic_update_slice(dead_x, dx, (n_dead, zero))
         dead_logl = lax.dynamic_update_slice(dead_logl, dl, (n_dead,))
         dead_lv = lax.dynamic_update_slice(dead_lv, lv_batch, (n_dead,))
 
@@ -185,7 +186,7 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
         jnp.zeros((max_dead, d), dt), jnp.full((max_dead,), neg),
         jnp.full((max_dead,), neg),
         jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt), neg,
-        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int64),
     )
     out = lax.while_loop(cond, body, init)
     (it, _, live_x, live_logl, dead_x, dead_logl, dead_lv,

@@ -1,0 +1,131 @@
+"""Correctness tests for the on-device inference engines.
+
+Gold standards: analytic log-evidence of Gaussians on the unit box (NS) and
+analytic moments of correlated Gaussians (NUTS). These are the integration
+oracles the reference validates against dynesty for (e.g. examples/Banana.py
+cross-check); here the analytic values are exact.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bobe_tpu.infer import integrals
+from bobe_tpu.infer.nested import run_nested
+from bobe_tpu.infer.nuts import run_chain
+
+
+# ------------------------------------------------------------------ helpers
+
+def gaussian_loglike_apply(mean, sigma):
+    mean = jnp.asarray(mean)
+
+    def apply(ctx, x):
+        return -0.5 * jnp.sum(((x - mean) / sigma) ** 2, axis=-1) \
+            - 0.5 * mean.shape[0] * jnp.log(2 * jnp.pi * sigma**2)
+
+    return apply
+
+
+def analytic_logz(d, sigma, mean=0.5):
+    """log int_box N(x; mean, sigma^2 I) dx over [0,1]^d (unit prior)."""
+    from scipy.stats import norm
+
+    mass = (norm.cdf((1 - mean) / sigma) - norm.cdf((0 - mean) / sigma)) ** d
+    return float(np.log(mass))
+
+
+# ----------------------------------------------------------------- NS tests
+
+def test_trapezoid_logz_analytic_exponential():
+    # L(X) = exp(-X) over X in (0,1]: Z = 1 - e^-1. Use dense logvol grid.
+    logvol = np.linspace(0, -25, 4000)[1:]
+    logl = -np.exp(logvol)
+    lz = integrals.trapezoid_logz(logl, logvol)[-1]
+    # 5e-3: the NS convention takes L=0 at the X=1 boundary (first interval)
+    np.testing.assert_allclose(np.exp(lz), 1 - np.exp(-1), rtol=5e-3)
+
+
+@pytest.mark.parametrize("d,sigma", [(2, 0.1), (4, 0.15)])
+def test_nested_sampling_gaussian_logz(d, sigma):
+    apply = gaussian_loglike_apply(np.full(d, 0.5), sigma)
+    res = run_nested(apply, jnp.zeros(()), d, jax.random.PRNGKey(0),
+                     nlive=300, dlogz=0.05,
+                     rng=np.random.default_rng(1))
+    assert res.success
+    lz = integrals.trapezoid_logz(res.dead_logl, res.logvol)[-1]
+    want = analytic_logz(d, sigma)
+    assert abs(lz - want) < 0.15, f"logz {lz} vs analytic {want}"
+    # information-based error bar should be sane and cover the error
+    h, err = integrals.information_and_err(res.dead_logl, res.logvol, lz, res.nlive)
+    assert 0 < err < 0.5
+    assert abs(lz - want) < 4 * err + 0.05
+
+
+def test_nested_sampling_posterior_moments():
+    d, sigma = 2, 0.08
+    apply = gaussian_loglike_apply(np.asarray([0.4, 0.6]), sigma)
+    res = run_nested(apply, jnp.zeros(()), d, jax.random.PRNGKey(2),
+                     nlive=300, dlogz=0.05, rng=np.random.default_rng(3))
+    logwt = integrals.logwt_from(res.dead_logl, res.logvol)
+    w = np.exp(logwt - logwt.max())
+    w /= w.sum()
+    mean = (res.dead_x * w[:, None]).sum(0)
+    np.testing.assert_allclose(mean, [0.4, 0.6], atol=0.01)
+    var = ((res.dead_x - mean) ** 2 * w[:, None]).sum(0)
+    np.testing.assert_allclose(np.sqrt(var), sigma, rtol=0.15)
+
+
+def test_nested_sampling_sigma_bounds_bracket():
+    d, sigma = 2, 0.1
+    apply = gaussian_loglike_apply(np.full(d, 0.5), sigma)
+    res = run_nested(apply, jnp.zeros(()), d, jax.random.PRNGKey(4),
+                     nlive=200, dlogz=0.1, rng=np.random.default_rng(5))
+    gp_sigma = np.full(len(res.dead_logl), 0.05)  # pretend GP uncertainty
+    out = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol, gp_sigma)
+    assert out["lower"] < out["mean"] < out["upper"]
+    assert (out["upper"] - out["lower"]) / 2 == pytest.approx(0.05, rel=0.3)
+    assert out["var"] > 0
+
+
+# ---------------------------------------------------------------- NUTS tests
+
+def test_nuts_recovers_gaussian_moments():
+    # correlated 2-D Gaussian on R^2
+    cov = np.array([[1.0, 0.8], [0.8, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -0.5])
+
+    def apply(ctx, z):
+        d = z - mu
+        return -0.5 * d @ prec @ d
+
+    zs, logps, diag = run_chain(apply, jnp.zeros(()), jnp.zeros(2),
+                                jax.random.PRNGKey(0), num_warmup=300,
+                                num_samples=800, thinning=2, dense_mass=True,
+                                max_depth=6)
+    s = np.asarray(zs)
+    assert np.all(np.isfinite(s))
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.3)
+    assert float(diag["mean_accept"]) > 0.5
+    assert int(diag["n_divergent"]) == 0
+
+
+def test_nuts_vmapped_chains():
+    def apply(ctx, z):
+        return -0.5 * jnp.sum(z * z)
+
+    from functools import partial
+
+    runner = jax.vmap(
+        partial(run_chain, apply, num_warmup=150, num_samples=300, thinning=2,
+                dense_mass=False, max_depth=5), in_axes=(None, 0, 0))
+    init = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    zs, logps, diag = runner(jnp.zeros(()), init, keys)
+    assert zs.shape == (4, 150, 3)
+    s = np.asarray(zs).reshape(-1, 3)
+    np.testing.assert_allclose(s.mean(0), np.zeros(3), atol=0.15)
+    np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.2)
