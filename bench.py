@@ -1,0 +1,181 @@
+"""Headline benchmark: GP refit + acquisition cycle at 1e3 training points.
+
+North star (BASELINE.json): >=20x faster than the CPU reference for one
+"cycle" = GP hyperparameter refit + evidence-weighted acquisition sweep, at
+N=1024 training points, |dlogZ| parity checked separately by the test suite.
+
+Methodology
+-----------
+The reference cannot run here (dynesty/getdist are not installed), so the
+baseline is an in-process, architecture-faithful emulation of its compute
+pattern, run on the CPU backend in a subprocess:
+  * refit: scipy L-BFGS-B, 4 restarts run serially, each objective evaluation
+    a full O(N^3) Cholesky MLL (reference optim.py:249-358 + gp.py:385-437);
+  * acquisition: per-candidate rank-1 Cholesky extension + (N+1) x n_mc
+    triangular solve, mapped over the MC pool (reference gp.py:552-576,
+    acquisition.py:390-397 via lax.map).
+Both sides perform the same optimizer work (same restarts and iteration cap).
+
+Ours runs the TPU-native path: one jitted fit with all restarts vmapped into
+batched device linear algebra + the single-kernel batched WIP sweep
+(ops/fantasy.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_TRAIN = 1024
+NDIM = 8
+N_MC = 64
+N_RESTARTS = 4
+MAXITER = 30
+SEED = 0
+
+
+def _make_data():
+    import numpy as np
+
+    rng = np.random.default_rng(SEED)
+    x = rng.uniform(size=(N_TRAIN, NDIM))
+    y = -0.5 * np.sum(((x - 0.5) / 0.2) ** 2, axis=1)
+    y += 0.01 * rng.normal(size=N_TRAIN)
+    mc = rng.uniform(size=(N_MC, NDIM))
+    x0_extra = rng.uniform(np.log(0.05), np.log(3.0),
+                           size=(N_RESTARTS - 1, NDIM + 1))
+    return x, y, mc, x0_extra
+
+
+def run_baseline_cpu() -> float:
+    """Reference-pattern cycle on CPU. Returns seconds per cycle."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bobe_tpu  # noqa: F401  (x64 + cache)
+    from bobe_tpu.models import gp as gpm
+    from bobe_tpu.ops import chol as chol_ops
+    from bobe_tpu.ops import kernels as kr
+    from bobe_tpu.ops import optimize as opt_ops
+
+    x, y, mc, x0_extra = _make_data()
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    bounds = gp.hyperparam_bounds
+    x0 = np.vstack([np.log(np.asarray(gp.get_hyperparams()))[None, :], x0_extra])
+
+    mc_j = jnp.asarray(mc)
+
+    def reference_style_cycle():
+        # serial scipy refit (multi-restart loop on host)
+        best, best_f = opt_ops.minimize_scipy_restarts(
+            lambda lp: gpm.neg_mll(gp.state, gp.cfg, lp), x0,
+            bounds=bounds, maxiter=MAXITER)
+        state = gpm.set_hyperparams(gp.state, gp.cfg, best)
+        # per-candidate acquisition sweep (rank-1 chol + big tri-solve each)
+        ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
+        n = int(state.n)
+        L = state.chol[:n, :n]
+        X = state.x[:n]
+        K_train_mc = kr.cross_kernel(gp.cfg.kernel, X, mc_j, ls, amp)
+
+        def per_candidate(c):
+            kc = kr.cross_kernel(gp.cfg.kernel, X, c[None, :], ls, amp)[:, 0]
+            Lp = chol_ops.rank1_extend(L, kc, amp + gp.cfg.noise)
+            k_new = kr.cross_kernel(gp.cfg.kernel, c[None, :], mc_j, ls, amp)
+            k12 = jnp.vstack([K_train_mc, k_new])
+            vv = chol_ops.tri_solve(Lp, k12)
+            var = (amp + gp.cfg.noise) - jnp.sum(vv * vv, axis=0)
+            return jnp.mean(jnp.sqrt(jnp.maximum(var, 1e-12)))
+
+        acq = jax.lax.map(per_candidate, mc_j)
+        return float(jnp.min(acq))
+
+    # warm up compiles, then time
+    reference_style_cycle()
+    t0 = time.time()
+    reference_style_cycle()
+    return time.time() - t0
+
+
+def run_tpu_cycle() -> float:
+    """TPU-native cycle. Returns seconds per cycle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bobe_tpu  # noqa: F401
+    from bobe_tpu.acquisition import _wip_sweep_core
+    from bobe_tpu.models import gp as gpm
+
+    x, y, mc, x0_extra = _make_data()
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    x0 = jnp.asarray(np.vstack(
+        [np.log(np.asarray(gp.get_hyperparams()))[None, :], x0_extra]))
+    mc_j = jnp.asarray(mc)
+
+    fit = gpm._fit_core(gp.cfg, gp.ndim, MAXITER, "lbfgs")
+    sweep = _wip_sweep_core(gp.cfg, True)
+
+    def cycle():
+        state, best_log, best_f = fit(gp.state, x0)
+        acq, V, var = sweep(state, mc_j)
+        return float(jnp.min(acq))
+
+    cycle()  # compile
+    t0 = time.time()
+    cycle()
+    dt = time.time() - t0
+    # cycles are fast on device: average a few for a stable number
+    reps = max(1, int(2.0 / max(dt, 1e-3)))
+    t0 = time.time()
+    for _ in range(reps):
+        cycle()
+    return (time.time() - t0) / reps
+
+
+def main():
+    if "--baseline-only" in sys.argv:
+        dt = run_baseline_cpu()
+        print(json.dumps({"baseline_cycle_s": dt}))
+        return
+
+    ours = run_tpu_cycle()
+
+    baseline = None
+    cached = os.environ.get("BOBE_BENCH_BASELINE_S")
+    if cached:
+        baseline = float(cached)
+    else:
+        try:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--baseline-only"],
+                capture_output=True, text=True, timeout=3000, env=env)
+            for line in out.stdout.strip().splitlines()[::-1]:
+                try:
+                    baseline = float(json.loads(line)["baseline_cycle_s"])
+                    break
+                except Exception:
+                    continue
+        except Exception:
+            baseline = None
+
+    vs = (baseline / ours) if baseline else None
+    print(json.dumps({
+        "metric": f"GP refit + WIP acquisition cycle @ N={N_TRAIN}, d={NDIM}",
+        "value": round(ours, 4),
+        "unit": "s/cycle",
+        "vs_baseline": None if vs is None else round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

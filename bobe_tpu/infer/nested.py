@@ -94,11 +94,15 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
     # expected shrinkage for simultaneous kill of K worst among nlive
     hs = jnp.cumsum(1.0 / (nlive - jnp.arange(K, dtype=dt)))  # (K,)
 
-    def replace_batch(key, live_x, live_logl, lstar):
-        """Evolve K clones of random survivors above lstar via slice sampling."""
+    def replace_batch(key, live_x, live_logl, survivor_idx, lstar):
+        """Evolve K clones of random survivors above lstar via slice sampling.
+
+        survivor_idx: (nlive - K,) indices of genuine survivors — clones start
+        uniformly over survivors (dynesty picks a random live point the same
+        way for its walk starts)."""
         k_pick, k_dir, k_loop = random.split(key, 3)
-        # survivors = all current live points (all have logl > lstar)
-        idx = random.randint(k_pick, (K,), 0, nlive)
+        pick = random.randint(k_pick, (K,), 0, nlive - K)
+        idx = survivor_idx[pick]
         x_cur = live_x[idx]
         l_cur = live_logl[idx]
 
@@ -162,13 +166,12 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
         logdvol = lv_prev + jnp.log1p(-jnp.exp(jnp.minimum(lv_batch - lv_prev, -1e-12)))
         logz = jnp.logaddexp(logz, jax.scipy.special.logsumexp(dl + logdvol))
 
-        # evolve replacements from survivor clones — first swap the killed
-        # slots with survivors so replace_batch samples only from survivors
-        survivors_x = live_x.at[kill_idx].set(live_x[order[K]])
-        survivors_l = live_logl.at[kill_idx].set(live_logl[order[K]])
-        x_new, l_new, rep_calls = replace_batch(k_rep, survivors_x, survivors_l, lstar)
-        live_x = survivors_x.at[kill_idx].set(x_new)
-        live_logl = survivors_l.at[kill_idx].set(l_new)
+        # evolve replacements from random survivor clones
+        survivor_idx = order[K:]
+        x_new, l_new, rep_calls = replace_batch(k_rep, live_x, live_logl,
+                                                survivor_idx, lstar)
+        live_x = live_x.at[kill_idx].set(x_new)
+        live_logl = live_logl.at[kill_idx].set(l_new)
 
         return (it + 1, key, live_x, live_logl, dead_x, dead_logl, dead_lv,
                 n_dead + K, logvol - hs[-1], logz, calls + rep_calls)

@@ -128,13 +128,15 @@ def _build_subtree(vg, key, depth_limit, n_steps, z0, p0, grad0, logp0,
         m = i  # leaf index in [0, n_steps)
         levels = 2 ** jnp.arange(1, D + 1)
 
-        # store checkpoints at even leaves (left boundary of aligned subtrees)
-        is_boundary = (m % levels) == 0  # (D,) level j+1 boundary
-        p_ck = jnp.where(is_boundary[:, None], p[None, :], p_ck)
-        r_ck = jnp.where(is_boundary[:, None], rho_prefix[None, :], r_ck)
-
         z_new, p_new, logp_new, grad_new = _leapfrog(vg, z, p, grad,
                                                      eps_signed, mass, dense)
+
+        # store checkpoints where leaf m is the LEFT boundary of an aligned
+        # subtree: its endpoint momentum is p_new (leaf m's own momentum) and
+        # the prefix sum excludes it
+        is_boundary = (m % levels) == 0  # (D,) level j boundary
+        p_ck = jnp.where(is_boundary[:, None], p_new[None, :], p_ck)
+        r_ck = jnp.where(is_boundary[:, None], rho_prefix[None, :], r_ck)
         energy_new = -logp_new + _kinetic(p_new, mass, dense)
         delta = energy_new - H0
         diverging = delta > MAX_DELTA_ENERGY

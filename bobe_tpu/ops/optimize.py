@@ -59,9 +59,10 @@ def minimize_restarts(
     bounds=None,
     method: str = "lbfgs",
     maxiter: int = 200,
-    patience: int = 30,
+    patience: int = 10,
     learning_rate: float = 1e-2,
-    gtol: float = 1e-8,
+    gtol: float = 1e-6,
+    ftol: float = 1e-9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``fun`` from each row of x0 (R, p); returns (best_x, best_f).
 
@@ -116,9 +117,13 @@ def minimize_restarts(
             z_new = jnp.clip(z_new, -_Z_CLIP, _Z_CLIP)
         v_new, g_new = vg(z_new)
         ok = jnp.isfinite(v_new)
-        improved = ok & (v_new < c["best_v"] - 1e-14)
-        best_v = jnp.where(improved, v_new, c["best_v"])
-        best_z = jnp.where(improved, z_new, c["best_z"])
+        # scipy-style relative ftol: improvements below ftol*|f| don't reset
+        # patience, so converged lanes retire instead of spinning to maxiter
+        meaningful = ftol * (jnp.abs(c["best_v"]) + jnp.abs(v_new) + 1e-12)
+        better = ok & (v_new < c["best_v"])
+        improved = ok & (v_new < c["best_v"] - meaningful)
+        best_v = jnp.where(better, v_new, c["best_v"])
+        best_z = jnp.where(better, z_new, c["best_z"])
         pat = jnp.where(improved, patience, c["pat"] - 1)
         small_grad = jnp.linalg.norm(g_new) < gtol
         active_next = c["active"] & ok & (pat > 0) & ~small_grad

@@ -239,6 +239,10 @@ class DistributedPool(EvalPool):
                 n = int(header[1])
                 self._cobaya_shard(likelihood, n)
 
+    # reference-API alias (pool.py:56 worker_wait)
+    def worker_wait(self, likelihood, seed=None):
+        return self.worker_loop(likelihood)
+
     def _cobaya_shard(self, likelihood, n_points):
         rng = get_numpy_rng()
         idxs = np.arange(self.rank, n_points, self.size)

@@ -1,0 +1,65 @@
+"""Quickstart: 2-D curved-degeneracy banana likelihood.
+
+TPU-native counterpart of the reference quickstart (examples/Banana.py).
+Runs the WIPStd evidence loop on the GP surrogate and prints logZ with
+GP-uncertainty bounds plus the phase timing breakdown.
+"""
+import time
+
+import numpy as np
+
+from bobe_tpu import BOBE
+from bobe_tpu.models import toys
+
+
+def main():
+    start = time.time()
+    bobe = BOBE(
+        loglikelihood=toys.banana,
+        param_list=toys.banana_names,
+        param_labels=["x_1", "x_2"],
+        param_bounds=toys.banana_bounds,
+        likelihood_name="banana",
+        n_sobol_init=8,
+        seed=42,
+        save_dir="./results/",
+    )
+    results = bobe.run(
+        acq="wipstd",
+        min_evals=25,
+        max_evals=250,
+        max_gp_size=250,
+        logz_threshold=5e-2,
+        do_final_ns=True,
+        fit_n_points=1,
+        batch_size=1,
+        ns_n_points=1,
+        num_hmc_warmup=512,
+        num_hmc_samples=2048,
+        mc_points_size=512,
+        num_chains=4,
+        convergence_n_iters=2,
+    )
+    if results is None:
+        return
+
+    logz = results.get("logz", {})
+    print("=" * 60)
+    print(f"Final logZ: {logz.get('mean', float('nan')):.4f}")
+    if "upper" in logz:
+        print(f"logZ uncertainty: +/-{(logz['upper'] - logz['lower']) / 2:.4f}")
+    print(f"wall time: {time.time() - start:.1f}s")
+    rm = results["results_manager"]
+    timing = rm.get_timing_summary()
+    for phase, t in timing["phase_times"].items():
+        if t > 0:
+            print(f"  {phase:28s}: {t:8.2f}s "
+                  f"({timing['percentages'].get(phase, 0):.1f}%)")
+
+    from bobe_tpu.utils.plot import create_summary_plots
+
+    create_summary_plots(rm, gp=results["gp"], save_dir="./results/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""High-dimensional Gaussian toy (30d) — the reference's dimensionality
+envelope test (docs index.rst:28-29). Analytic logZ is known exactly."""
+import numpy as np
+
+from bobe_tpu import BOBE
+from bobe_tpu.models import toys
+
+
+def main():
+    d = 30
+    loglike, bounds, logz_true = toys.make_gaussian(d, sigma=0.12)
+    bobe = BOBE(
+        loglikelihood=loglike,
+        param_list=[f"x{i}" for i in range(d)],
+        param_bounds=bounds,
+        likelihood_name="gaussian30d",
+        n_sobol_init=128,
+        seed=4,
+        save_dir="./results/",
+    )
+    results = bobe.run(
+        acq="wipstd", min_evals=300, max_evals=1500, max_gp_size=1200,
+        logz_threshold=5e-2, fit_n_points=16, batch_size=8, ns_n_points=24,
+        convergence_n_iters=2, mc_points_size=128,
+    )
+    if results is None:
+        return
+    logz = results.get("logz", {})
+    print(f"logZ = {logz.get('mean', float('nan')):.3f} "
+          f"(analytic {logz_true:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Himmelblau 2-D multimodal toy with batched acquisition (batch_size=4).
+
+Expected logZ ~ -3.2 on [-5, 5]^2 (reference docs detailed_usage.rst:197).
+"""
+import time
+
+from bobe_tpu import BOBE
+from bobe_tpu.models import toys
+
+
+def main():
+    start = time.time()
+    bobe = BOBE(
+        loglikelihood=toys.himmelblau,
+        param_list=toys.himmelblau_names,
+        param_bounds=toys.himmelblau_bounds,
+        likelihood_name="himmelblau",
+        n_sobol_init=32,
+        seed=1,
+        save_dir="./results/",
+    )
+    results = bobe.run(
+        acq="wipstd", min_evals=60, max_evals=400, max_gp_size=400,
+        logz_threshold=2e-2, fit_n_points=4, batch_size=4, ns_n_points=8,
+        convergence_n_iters=2,
+    )
+    if results is None:
+        return
+    logz = results.get("logz", {})
+    print(f"logZ = {logz.get('mean', float('nan')):.4f} "
+          f"(expected ~ -3.2); wall {time.time() - start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""End-to-end BOBE runs on 2-D toys (mirroring /root/reference/tests/test_bo_2d.py):
+EI on Rosenbrock (no samples/logz produced), WIPStd on Himmelblau with uniform
+MC points, plus the classifier path."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bobe_tpu.bo import BOBE
+from bobe_tpu.models import toys
+
+
+def test_bobe_ei_rosenbrock(tmp_path):
+    bobe = BOBE(
+        loglikelihood=toys.rosenbrock,
+        param_list=toys.rosenbrock_names,
+        param_bounds=toys.rosenbrock_bounds,
+        likelihood_name="rosenbrock_test",
+        n_sobol_init=8,
+        seed=3,
+        save_dir=str(tmp_path),
+        verbosity="WARNING",
+        pool="serial",
+    )
+    results = bobe.run(acq="logei", max_evals=16, max_gp_size=40,
+                       ei_goal=1e-8, convergence_n_iters=1, fit_n_points=4)
+    assert results is not None
+    for key in ("gp", "likelihood", "results_manager", "best_val", "best_pt",
+                "logz", "termination_reason", "samples"):
+        assert key in results
+    # EI produces no samples/logz (reference tests/test_bo_2d.py:79-80)
+    assert results["samples"] == {}
+    assert results["logz"] == {}
+    assert results["best_val"] > -1000.0
+
+
+def test_bobe_wipstd_himmelblau(tmp_path):
+    bobe = BOBE(
+        loglikelihood=toys.himmelblau,
+        param_list=toys.himmelblau_names,
+        param_bounds=toys.himmelblau_bounds,
+        likelihood_name="himmelblau_test",
+        n_sobol_init=24,
+        seed=5,
+        save_dir=str(tmp_path),
+        verbosity="WARNING",
+        pool="serial",
+    )
+    results = bobe.run(acq="wipstd", min_evals=30, max_evals=90,
+                       max_gp_size=120, logz_threshold=0.5,
+                       convergence_n_iters=1, fit_n_points=8, batch_size=4,
+                       ns_n_points=8, mc_points_method="uniform",
+                       mc_points_size=64, do_final_ns=True)
+    assert results is not None
+    samples = results["samples"]
+    assert len(samples) > 0 and samples["x"].shape[1] == 2
+    # samples are in PHYSICAL space
+    assert samples["x"].min() < -0.5 and samples["x"].max() > 0.5
+    logz = results["logz"]
+    assert "mean" in logz  # do_final_ns guarantees an NS run
+    # TRUE Himmelblau logZ on [-5,5]^2 with uniform prior is -5.504 (brute
+    # force quadrature on a 4001^2 grid). NOTE: the reference docs quote
+    # "~ -3.2" (detailed_usage.rst:197), which does not match the integral of
+    # exp(-himmelblau) over this box; we test against the true value.
+    assert abs(logz["mean"] - (-5.504)) < 0.8, f"logZ {logz['mean']}"
+    # output artifacts exist
+    import os
+
+    base = os.path.join(str(tmp_path), "himmelblau_test")
+    for suffix in ("_results.pkl", ".txt", ".paramnames", ".ranges",
+                   "_stats.json", "_timing.json", "_intermediate.json"):
+        assert os.path.exists(base + suffix), f"missing {suffix}"
+
+
+def test_bobe_clf_path(tmp_path):
+    def gaussian_with_failures(x):
+        if x[0] > 4.0:
+            return np.nan  # failure region -> minus_inf via Likelihood
+        return -0.5 * float(np.sum(((x - 1.0) / 0.8) ** 2))
+
+    bounds = np.array([[-5.0, 5.0], [-5.0, 5.0]]).T
+    bobe = BOBE(
+        loglikelihood=gaussian_with_failures,
+        param_list=["x1", "x2"],
+        param_bounds=bounds,
+        likelihood_name="clf_test",
+        n_sobol_init=24,
+        seed=7,
+        use_clf=True,
+        clf_type="svm",
+        save_dir=str(tmp_path),
+        verbosity="WARNING",
+        pool="serial",
+    )
+    results = bobe.run(acq="wipstd", min_evals=28, max_evals=60,
+                       max_gp_size=90, logz_threshold=1.0,
+                       convergence_n_iters=1, fit_n_points=8, batch_size=4,
+                       ns_n_points=8, mc_points_method="uniform",
+                       mc_points_size=64)
+    assert results is not None
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    assert isinstance(results["gp"], GPwithClassifier)
+    assert results["best_val"] > -5.0

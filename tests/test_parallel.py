@@ -1,0 +1,112 @@
+"""Parallel runtime tests: pools (ordering, error propagation) and mesh-
+sharded device paths on the faked 8-device CPU platform (the reference's
+multi-device test mechanism, tests/test_mpi.py:12)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bobe_tpu.likelihood import Likelihood
+from bobe_tpu.parallel.pool import MultiprocessPool, SerialPool, make_pool
+
+
+BOUNDS = np.array([[0.0, 1.0], [0.0, 1.0]]).T
+
+
+def _lk():
+    return Likelihood(lambda x: -float(np.sum(x**2)), ["a", "b"],
+                      param_bounds=BOUNDS)
+
+
+def test_serial_pool_order():
+    pool = SerialPool()
+    pts = np.random.default_rng(0).uniform(size=(7, 2))
+    vals = pool.run_map_objective(_lk(), pts)
+    np.testing.assert_allclose(vals, -np.sum(pts**2, axis=1))
+
+
+def test_serial_pool_error_becomes_minus_inf():
+    def sometimes_fail(x):
+        if x[0] > 0.5:
+            raise RuntimeError("boom")
+        return 1.0
+
+    lk = Likelihood(sometimes_fail, ["a", "b"], param_bounds=BOUNDS)
+    pts = np.array([[0.2, 0.0], [0.9, 0.0]])
+    vals = SerialPool().run_map_objective(lk, pts)
+    assert vals[0] == 1.0
+    assert vals[1] == lk.minus_inf
+
+
+def test_multiprocess_pool_order_and_values():
+    pool = MultiprocessPool(n_workers=2, seed=0)
+    try:
+        pts = np.random.default_rng(1).uniform(size=(9, 2))
+        vals = pool.run_map_objective(_lk(), pts)
+        np.testing.assert_allclose(vals, -np.sum(pts**2, axis=1))
+    finally:
+        pool.close()
+
+
+def test_make_pool_auto_is_serial_single_process():
+    pool = make_pool("auto")
+    assert isinstance(pool, SerialPool)
+
+
+def test_pool_gp_fit_delegates():
+    from bobe_tpu.models.gp import GP
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(20, 2))
+    y = -np.sum((x - 0.5) ** 2, 1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    info = SerialPool().gp_fit(gp, n_restarts=2, maxiters=50)
+    assert np.isfinite(info["mll"])
+
+
+# ------------------------------------------------------------- mesh sharding
+
+def test_sharded_predict_matches_unsharded():
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) == 8, "conftest must fake 8 devices"
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(40, 2))
+    y = -np.sum((x - 0.5) ** 2, 1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    xq = jnp.asarray(rng.uniform(size=(19, 2)))  # deliberately not /8
+    mean_s, var_s = pmesh.sharded_predict(gp, xq)
+    mean_u = gp.predict_mean_batched(xq)
+    var_u = gp.predict_var_batched(xq)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_u), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_u), rtol=1e-8)
+
+
+def test_sharded_wip_sweep_matches_unsharded():
+    from bobe_tpu.acquisition import _wip_sweep_core
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(size=(30, 2))
+    y = -np.sum((x - 0.5) ** 2, 1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    mc = jnp.asarray(rng.uniform(size=(16, 2)))
+    acq_s = pmesh.sharded_wip_sweep(gp, mc, use_std=True)
+    acq_u, _, _ = _wip_sweep_core(gp.cfg, True)(gp.state, mc)
+    np.testing.assert_allclose(np.asarray(acq_s), np.asarray(acq_u), rtol=1e-8)
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64,)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g.dryrun_multichip(8)

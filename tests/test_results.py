@@ -1,0 +1,89 @@
+"""Results manager: time series, timing ledger, artifact writers, resume."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bobe_tpu.utils.results import BOBEResults, ConvergenceInfo
+
+
+def make_rm(tmp_path, resume=False):
+    return BOBEResults(
+        output_file="testrun", save_dir=str(tmp_path),
+        param_names=["a", "b"], param_labels=["\\alpha", "\\beta"],
+        param_bounds=np.array([[0, 1], [0, 2]]).T,
+        settings={"acq": "wipstd"}, likelihood_name="test",
+        resume_from_existing=resume)
+
+
+def test_timing_ledger(tmp_path):
+    import time
+
+    rm = make_rm(tmp_path)
+    rm.start_timing("GP Training")
+    time.sleep(0.05)
+    rm.end_timing("GP Training")
+    t = rm.get_timing_summary()
+    assert t["phase_times"]["GP Training"] >= 0.05
+    assert 0 <= t["percentages"]["GP Training"] <= 100
+
+
+def test_series_and_convergence(tmp_path):
+    rm = make_rm(tmp_path)
+    rm.update_acquisition(1, 0.5, "WIPStd")
+    rm.update_gp_hyperparams(1, [0.3, 0.4], 2.0)
+    rm.update_best_loglike(1, -3.0)
+    rm.update_convergence(2, {"mean": -1.0, "upper": -0.9, "lower": -1.1,
+                              "var": 0.01, "std": 0.2}, False, 0.05)
+    assert rm.get_last_iteration() == 2
+    assert rm.convergence_history[0].delta == pytest.approx(0.1)
+    assert not rm.converged
+
+
+def test_finalize_writes_all_artifacts(tmp_path):
+    rm = make_rm(tmp_path)
+    samples = {"x": np.random.default_rng(0).uniform(size=(50, 2)),
+               "weights": np.ones(50), "logl": np.zeros(50)}
+    rm.finalize(samples_dict=samples,
+                logz_dict={"mean": -1.0, "upper": -0.9, "lower": -1.1},
+                converged=True, termination_reason="LogZ converged",
+                gp_info={"gp_training_set_size": 50})
+    base = os.path.join(str(tmp_path), "testrun")
+    for sfx in ("_results.pkl", ".txt", ".paramnames", ".ranges",
+                "_stats.json", "_timing.json", "_intermediate.json"):
+        assert os.path.exists(base + sfx), sfx
+    # chain file format: weight, -logl, params
+    data = np.loadtxt(base + ".txt")
+    assert data.shape == (50, 4)
+    np.testing.assert_allclose(data[:, 0], 1.0)
+    # paramnames format
+    lines = open(base + ".paramnames").read().strip().splitlines()
+    assert lines[0].split("\t") == ["a", "\\alpha"]
+    stats = json.load(open(base + "_stats.json"))
+    assert stats["converged"] is True
+    assert "posterior_means" in stats
+
+
+def test_resume_roundtrip(tmp_path):
+    rm = make_rm(tmp_path)
+    rm.update_acquisition(3, 0.2, "WIPStd")
+    rm.update_convergence(4, {"mean": -1.0, "upper": -0.95, "lower": -1.05},
+                          True, 0.1)
+    rm.save_intermediate()
+    rm2 = make_rm(tmp_path, resume=True)
+    assert rm2.is_resuming()
+    assert rm2.get_last_iteration() == 4
+    assert rm2.converged
+    assert rm2.convergence_history[-1].threshold == pytest.approx(0.1)
+
+
+def test_load_results(tmp_path):
+    rm = make_rm(tmp_path)
+    rm.finalize(samples_dict={"x": np.zeros((3, 2)), "weights": np.ones(3),
+                              "logl": np.zeros(3)},
+                logz_dict={"mean": 0.0, "upper": 0.1, "lower": -0.1},
+                converged=False, termination_reason="budget", gp_info={})
+    payload = BOBEResults.load_results(os.path.join(str(tmp_path), "testrun"))
+    assert payload["state"]["termination_reason"] == "budget"
+    assert payload["samples"].shape == (3, 2)
