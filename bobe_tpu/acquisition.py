@@ -64,10 +64,18 @@ def _ei_objective_core(cfg: gpm.GPTrainConfig, use_log: bool, maxiter: int):
 
 
 @lru_cache(maxsize=32)
-def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool):
-    """Jitted full-pool WIP sweep. Returns (acq_vals, V, var)."""
+def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool,
+                    sweep_dtype: str = "float64"):
+    """Jitted full-pool WIP sweep. Returns (acq_vals, V, var).
+
+    sweep_dtype='float32' runs the whole sweep on the MXU in f32 — the argmin
+    over candidates is insensitive to that precision."""
+    sdt = jnp.dtype(sweep_dtype)
 
     def run(state, mc_points):
+        if sdt != state.x.dtype:
+            state = gpm._cast_state(state, sdt)
+            mc_points = mc_points.astype(sdt)
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
         V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
                                  mc_points, ls, amp, cfg.noise)
@@ -233,7 +241,10 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size, rng=rng)
         mc_points = jnp.asarray(mc_points)
 
-        sweep = _wip_sweep_core(gp.cfg, self._use_std)
+        from . import config as _config
+
+        sweep = _wip_sweep_core(gp.cfg, self._use_std,
+                                jnp.dtype(_config.compute_dtype()).name)
         acq_vals, V, var = sweep(gp.state, mc_points)
         i_best = int(jnp.argmin(acq_vals))
         acq_min = float(acq_vals[i_best])

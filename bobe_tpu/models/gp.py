@@ -309,14 +309,29 @@ def set_hyperparams(state: GPState, cfg: GPTrainConfig, log_params) -> GPState:
 from functools import lru_cache, partial
 
 
+def _cast_state(state: GPState, dtype) -> GPState:
+    """Cast the float leaves of a GPState (for reduced-precision fit evals)."""
+    cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+    return GPState(*[cast(leaf) for leaf in state])
+
+
 @lru_cache(maxsize=64)
-def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str):
+def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
+              fit_dtype: str = "float64"):
     """Build (and cache) the jitted end-to-end fit: neg-MLL restarts + state
-    refresh, compiled once per (config, capacity-bucket) signature."""
+    refresh, compiled once per (config, capacity-bucket) signature.
+
+    fit_dtype='float32' runs the MLL objective (Gram + Cholesky) in f32 on the
+    MXU — hyperparameter *selection* is insensitive to that precision, and the
+    final state refresh stays f64. The adaptive jitter ladder (ops/chol.py)
+    keeps f32 factorizations finite.
+    """
     bounds = hyperparam_bounds_log(cfg, d)
+    fdt = jnp.dtype(fit_dtype)
 
     def run(state, x0):
-        obj = lambda lp: neg_mll(state, cfg, lp)
+        state_f = _cast_state(state, fdt) if fdt != state.x.dtype else state
+        obj = lambda lp: neg_mll(state_f, cfg, lp.astype(fdt)).astype(jnp.float64)
         best_log, best_f = opt_ops.minimize_restarts(
             obj, x0, bounds=bounds, method=optimizer, maxiter=maxiter
         )
@@ -360,7 +375,8 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         new_state = set_hyperparams(state, cfg, best)
         return new_state, {"mll": float(-best_f), "params": np.asarray(best)}
 
-    run = _fit_core(cfg, d, int(maxiter), optimizer)
+    run = _fit_core(cfg, d, int(maxiter), optimizer,
+                    fit_dtype=jnp.dtype(config.compute_dtype()).name)
     new_state, best_log, best_f = run(state, x0)
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 

@@ -118,13 +118,30 @@ class BOBEResults:
 
     # ------------------------------------------------------------- timing
 
+    def enable_jax_profiler(self, trace_dir: Optional[str] = None):
+        """Capture a jax.profiler trace for every timed phase (viewable in
+        TensorBoard / Perfetto). The reference only had the wall-time ledger;
+        this adds device-level visibility."""
+        self._trace_dir = trace_dir or os.path.join(self.save_dir, "jax_trace")
+        os.makedirs(self._trace_dir, exist_ok=True)
+
     def start_timing(self, phase: str):
         self._phase_starts[phase] = time.time()
+        if getattr(self, "_trace_dir", None):
+            import jax
+
+            self._phase_traces = getattr(self, "_phase_traces", {})
+            tc = jax.profiler.TraceAnnotation(phase)
+            tc.__enter__()
+            self._phase_traces[phase] = tc
 
     def end_timing(self, phase: str):
         t0 = self._phase_starts.pop(phase, None)
         if t0 is not None:
             self._phase_times[phase] = self._phase_times.get(phase, 0.0) + time.time() - t0
+        tc = getattr(self, "_phase_traces", {}).pop(phase, None)
+        if tc is not None:
+            tc.__exit__(None, None, None)
 
     def get_timing_summary(self) -> Dict[str, Any]:
         total = time.time() - self._t0
