@@ -114,14 +114,18 @@ def run_tpu_cycle() -> float:
     from bobe_tpu.acquisition import _wip_sweep_core
     from bobe_tpu.models import gp as gpm
 
+    from bobe_tpu import config as _config
+
     x, y, mc, x0_extra = _make_data()
     gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
     x0 = jnp.asarray(np.vstack(
         [np.log(np.asarray(gp.get_hyperparams()))[None, :], x0_extra]))
     mc_j = jnp.asarray(mc)
 
-    fit = gpm._fit_core(gp.cfg, gp.ndim, MAXITER, "lbfgs")
-    sweep = _wip_sweep_core(gp.cfg, True)
+    # production dtype policy: f32 MLL objective on TPU, f64 state + sweep
+    fit = gpm._fit_core(gp.cfg, gp.ndim, MAXITER, "lbfgs",
+                        jnp.dtype(_config.compute_dtype()).name)
+    sweep = _wip_sweep_core(gp.cfg, True, "float64")
 
     def cycle():
         state, best_log, best_f = fit(gp.state, x0)
@@ -149,10 +153,17 @@ def main():
     ours = run_tpu_cycle()
 
     baseline = None
+    cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_CYCLE.json")
     cached = os.environ.get("BOBE_BENCH_BASELINE_S")
     if cached:
         baseline = float(cached)
-    else:
+    elif os.path.exists(cache_file):
+        try:
+            baseline = float(json.load(open(cache_file))["baseline_cycle_s"])
+        except Exception:
+            baseline = None
+    if baseline is None:
         try:
             env = dict(os.environ)
             env["JAX_PLATFORMS"] = "cpu"
@@ -165,6 +176,11 @@ def main():
                     break
                 except Exception:
                     continue
+            if baseline is not None:
+                with open(cache_file, "w") as f:
+                    json.dump({"baseline_cycle_s": baseline,
+                               "note": "reference-pattern cycle measured on "
+                                       "this machine's CPU (see docstring)"}, f)
         except Exception:
             baseline = None
 

@@ -241,10 +241,15 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size, rng=rng)
         mc_points = jnp.asarray(mc_points)
 
-        from . import config as _config
+        # The sweep stays float64 by default even on TPU: its cost is a single
+        # tri-solve + matmul (negligible), while the fantasy-variance
+        # cancellation var - cov^2/var loses all relative accuracy in f32 once
+        # the GP starts interpolating (posterior variances ~1e-6). Override
+        # with BOBE_TPU_SWEEP_DTYPE for experiments.
+        import os as _os
 
         sweep = _wip_sweep_core(gp.cfg, self._use_std,
-                                jnp.dtype(_config.compute_dtype()).name)
+                                _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64"))
         acq_vals, V, var = sweep(gp.state, mc_points)
         i_best = int(jnp.argmin(acq_vals))
         acq_min = float(acq_vals[i_best])

@@ -66,7 +66,16 @@ def is_x32() -> bool:
     return _COMPUTE_DTYPE == jnp.float32
 
 
-# Allow env override (e.g. bench runs): BOBE_TPU_DTYPE=float32
+# Default policy: float32 hot-path on TPU (MXU-native; f64 is emulated and
+# both compiles and runs an order of magnitude slower there), float64 on CPU
+# (parity with the reference). The GP state and the evidence integrals stay
+# float64 either way. Override with BOBE_TPU_DTYPE.
+try:
+    if jax.default_backend() == "tpu":
+        _COMPUTE_DTYPE = jnp.float32
+except Exception:  # pragma: no cover - backend probing must never fail import
+    pass
+
 _env_dt = os.environ.get("BOBE_TPU_DTYPE")
 if _env_dt:
     set_compute_dtype(_env_dt)

@@ -276,10 +276,21 @@ def _prior_logprob(cfg: GPTrainConfig, d: int, ls, amp, tausq):
 
 
 def neg_mll(state: GPState, cfg: GPTrainConfig, log_params):
-    """Negative (MLL + hyperprior) as a function of log hyperparameters."""
+    """Negative (MLL + hyperprior) as a function of log hyperparameters.
+
+    In float32 (TPU fast path) a relative diagonal jitter keeps the Cholesky
+    inside the MLL finite — near-singular Grams at noise=1e-8 are below f32
+    resolution. The jitter regularizes the objective identically across
+    hyperparameter candidates, so the argmax is unaffected."""
     ls, amp, tausq = _parse_log_params(cfg, state, log_params)
     mask = state.mask()
-    K = kr.gram_masked(cfg.kernel, state.x, mask, ls, amp, cfg.noise)
+    noise = cfg.noise
+    if state.x.dtype == jnp.float32:
+        # f32 Cholesky rounding grows ~ cap * eps * lambda_max; a floor of
+        # ~256 * cap * eps32 (relative to the amplitude) keeps the factor
+        # finite at cap=1024 (measured on TPU; see ARCHITECTURE.md section 5)
+        noise = noise + (256.0 * state.cap * 1.19e-7) * amp
+    K = kr.gram_masked(cfg.kernel, state.x, mask, ls, amp, noise)
     y = _y_standardized(state)
     mll = mll_ops.gp_mll(K, y, state.n)
     mll = mll + _prior_logprob(cfg, state.ndim, ls, amp, tausq)
