@@ -139,9 +139,11 @@ def _build_subtree(vg, key, depth_limit, n_steps, z0, p0, grad0, logp0,
         r_ck = jnp.where(is_boundary[:, None], rho_prefix[None, :], r_ck)
         energy_new = -logp_new + _kinetic(p_new, mass, dense)
         delta = energy_new - H0
-        diverging = delta > MAX_DELTA_ENERGY
+        # NaN-safe: a NaN energy must count as a divergence (NaN > x is False)
+        diverging = ~(delta <= MAX_DELTA_ENERGY)
         lw_leaf = jnp.where(diverging, -jnp.inf, -delta)
-        accept_leaf = jnp.minimum(1.0, jnp.exp(-delta))
+        accept_leaf = jnp.where(diverging, 0.0,
+                                jnp.minimum(1.0, jnp.exp(-delta)))
 
         rho_prefix_new = rho_prefix + p_new
 

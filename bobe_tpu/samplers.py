@@ -177,8 +177,11 @@ def _nuts_logprob_apply(cfg: gpm.GPTrainConfig, gated: bool, prob_threshold: flo
     def apply(ctx, z):
         x = jax.nn.sigmoid(z)
         mean = mean_apply(ctx, x[None, :])[0]
-        # log|dx/dz| = sum log sigmoid'(z) — the Uniform prior is constant
-        log_jac = jnp.sum(jnp.log(x) + jnp.log1p(-x))
+        # log|dx/dz| = sum log sigmoid'(z) = -(softplus(z) + softplus(-z));
+        # the softplus form stays finite AND differentiable when the sigmoid
+        # saturates (log(x)+log1p(-x) NaNs in the gradient at x -> 0/1,
+        # which froze chains whose step-size search overshot the box)
+        log_jac = -jnp.sum(jax.nn.softplus(z) + jax.nn.softplus(-z))
         return mean / temp + log_jac
 
     return apply
