@@ -57,6 +57,12 @@ def load_gp_file(filename: str, clf: bool):
     return GPwithClassifier.load(filename) if clf else GP.load(filename)
 
 
+def load_gp_statedict(state_dict: Dict[str, Any], clf: bool):
+    """Rebuild a GP / GPwithClassifier from a state dict (reference bo.py:45)."""
+    cls = GPwithClassifier if clf else GP
+    return cls.from_state_dict(state_dict)
+
+
 class BOBE:
     """Bayesian evidence via GP-surrogate Bayesian optimization."""
 

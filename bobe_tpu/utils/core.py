@@ -115,6 +115,18 @@ def split_vmap(func, input_arrays, batch_size=64):
     return jnp.concatenate(out)
 
 
+from contextlib import contextmanager, redirect_stderr, redirect_stdout
+from os import devnull
+
+
+@contextmanager
+def suppress_stdout_stderr():
+    """Silence noisy third-party output (reference utils/core.py:196)."""
+    with open(devnull, "w") as fnull:
+        with redirect_stderr(fnull) as err, redirect_stdout(fnull) as out:
+            yield (err, out)
+
+
 def is_cluster_environment() -> bool:
     indicators = [
         "SLURM_JOB_ID", "PBS_JOBID", "LSB_JOBID", "SGE_TASK_ID",
