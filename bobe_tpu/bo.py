@@ -444,6 +444,9 @@ class BOBE:
         logz_dict = self.results_dict.get("logz", {})
         if not logz_dict:
             log.warning("No logz information found; nested sampling never ran")
+        if self.save:
+            # persist the final GP so resume_file works from a completed run
+            self.gp.save(f"{self.save_path}_gp")
         self.results_manager.finalize(
             samples_dict=self.samples_dict or {}, logz_dict=logz_dict,
             converged=self.converged, termination_reason=self.termination_reason,
