@@ -1,0 +1,103 @@
+"""CobayaLikelihood adapter tested against a mock cobaya module.
+
+cobaya is an optional dependency and absent in CI; these tests inject a
+minimal fake into sys.modules to pin the adapter's contracts: parameter/
+bound/label extraction, the log-prior-volume shift (reference
+likelihood.py:181-186), and reference-distribution draws on workers.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+class _FakeParameterization:
+    def sampled_params(self):
+        return {"a": None, "b": None}
+
+    def labels(self):
+        return {"a": "\\alpha", "b": "\\beta"}
+
+
+class _FakePrior:
+    def bounds(self, confidence_for_unbounded=1.0):
+        # cobaya returns (d, 2)
+        return np.array([[0.0, 2.0], [-1.0, 1.0]])
+
+
+class _FakeModel:
+    parameterization = _FakeParameterization()
+    prior = _FakePrior()
+
+    def logpost(self, x, make_finite=False):
+        return -float(np.sum(np.asarray(x) ** 2))
+
+    def get_valid_point(self, max_tries, ignore_fixed_ref,
+                        logposterior_as_dict, random_state):
+        pt = np.array([0.5, 0.1])
+        return pt, {"logpost": self.logpost(pt)}
+
+
+@pytest.fixture()
+def fake_cobaya(monkeypatch):
+    cobaya = types.ModuleType("cobaya")
+    cobaya_yaml = types.ModuleType("cobaya.yaml")
+    cobaya_model = types.ModuleType("cobaya.model")
+    cobaya_yaml.yaml_load = lambda s: {"fake": True}
+    cobaya_model.get_model = lambda info: _FakeModel()
+    monkeypatch.setitem(sys.modules, "cobaya", cobaya)
+    monkeypatch.setitem(sys.modules, "cobaya.yaml", cobaya_yaml)
+    monkeypatch.setitem(sys.modules, "cobaya.model", cobaya_model)
+    yield
+
+
+def test_cobaya_likelihood_extraction_and_volume_shift(fake_cobaya):
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    lk = CobayaLikelihood({"likelihood": {}}, name="fake_model")
+    assert lk.param_list == ["a", "b"]
+    assert lk.param_labels == ["\\alpha", "\\beta"]
+    np.testing.assert_allclose(lk.param_bounds, np.array([[0, -1], [2, 1]]))
+    # prior volume = 2 * 2 = 4
+    assert lk.logprior_vol == pytest.approx(np.log(4.0))
+    # logpost gets the volume shift
+    x = np.array([0.5, 0.5])
+    assert lk(x) == pytest.approx(-0.5 + np.log(4.0))
+
+
+def test_cobaya_valid_point_draw(fake_cobaya):
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    lk = CobayaLikelihood({"likelihood": {}})
+    pt, lp = lk._get_single_valid_point(np.random.default_rng(0))
+    np.testing.assert_allclose(pt, [0.5, 0.1])
+    assert lp == pytest.approx(-0.26 + np.log(4.0))
+
+
+def test_cobaya_failures_floor_to_minus_inf(fake_cobaya):
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    lk = CobayaLikelihood({"likelihood": {}}, minus_inf=-1e8)
+
+    class _BadModel(_FakeModel):
+        def logpost(self, x, make_finite=False):
+            return -np.inf
+
+    lk.logl = lambda x: -np.inf
+    assert lk(np.array([0.1, 0.1])) == -1e8 + lk.logprior_vol
+
+
+def test_bobe_accepts_cobaya_yaml(fake_cobaya, tmp_path):
+    """BOBE(loglikelihood=<str>) routes through CobayaLikelihood and seeds
+    the design with Cobaya reference draws (bo.py path)."""
+    from bobe_tpu.bo import BOBE
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    bobe = BOBE(loglikelihood="fake: yaml", n_sobol_init=6, n_cobaya_init=2,
+                seed=3, save_dir=str(tmp_path), verbosity="WARNING",
+                pool="serial")
+    assert isinstance(bobe.loglikelihood, CobayaLikelihood)
+    # 6 sobol + 2 cobaya draws, deduped (the fake returns identical points ->
+    # one survives)
+    assert bobe.gp.npoints >= 7
