@@ -144,15 +144,9 @@ class AcquisitionFunction:
         x_batch, acq_vals = [np.asarray(x_next)], [float(v_next)]
 
         if n_batch > 1:
-            # plain-GP clone holding the same data/hyperparams (classifier
-            # gating is intentionally dropped, as in the reference :174-180)
-            dummy = gpm.GP(
-                train_x=np.asarray(gp.train_x),
-                train_y=np.asarray(gp.train_y_raw),
-                noise=gp.noise, kernel=gp.kernel_name,
-                lengthscales=np.asarray(gp.lengthscales),
-                kernel_variance=gp.kernel_variance,
-            )
+            # plain-GP clone sharing the padded state (classifier gating is
+            # intentionally dropped, as in the reference :174-180)
+            dummy = gpm.GP.dummy_like(gp)
             mu = dummy.predict_mean_single(jnp.asarray(x_next))
             dummy.update(jnp.asarray(x_next)[None, :], jnp.asarray(mu)[None])
             for _ in range(1, n_batch):

@@ -729,6 +729,24 @@ class GP:
     def copy(self) -> "GP":
         return self.__class__.from_state_dict(self.state_dict())
 
+    @classmethod
+    def dummy_like(cls, other: "GP") -> "GP":
+        """Plain-GP clone sharing the SAME padded state (no O(cap^3) rebuild).
+
+        Used for greedy-batch hallucination (reference acquisition.py:174-180
+        builds a fresh plain GP from the data; the padded state is identical
+        because K is independent of priors/bounds, so we just adopt it).
+        Classifier gating is intentionally dropped. Subsequent ``update``
+        calls extend a private copy-on-write state.
+        """
+        gp = object.__new__(GP)
+        gp.param_names = list(other.param_names)
+        gp.optimizer_method = other.optimizer_method
+        gp.optimizer_options = dict(other.optimizer_options)
+        gp.cfg = GPTrainConfig(kernel=other.cfg.kernel, noise=other.cfg.noise)
+        gp.state = other.state  # jax arrays are immutable: safe to share
+        return gp
+
 
 _extend_jit = jax.jit(extend, static_argnums=1)
 _refresh_jit = jax.jit(refresh, static_argnums=1)

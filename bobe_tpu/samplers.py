@@ -117,6 +117,12 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     maxcall = maxcall if maxcall is not None else maxcall_default
     if mode == "acq":
         equal_weights = True
+    if dynamic:
+        # dynesty's dynamic mode reallocates live points toward the posterior
+        # bulk for better sample quality; the batched sampler approximates
+        # that by doubling the live population (denser dead-point coverage
+        # everywhere, including the bulk) for final runs.
+        nlive *= 2
 
     rng = rng if rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
