@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import lru_cache, partial
 from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax
@@ -315,9 +316,6 @@ def set_hyperparams(state: GPState, cfg: GPTrainConfig, log_params) -> GPState:
         log_tausq=jnp.log(tausq),
     )
     return refresh(state, cfg)
-
-
-from functools import lru_cache, partial
 
 
 def _cast_state(state: GPState, dtype) -> GPState:

@@ -193,6 +193,20 @@ def _nuts_logprob_apply(cfg: gpm.GPTrainConfig, gated: bool, prob_threshold: flo
     return apply
 
 
+@lru_cache(maxsize=32)
+def _nuts_runner(apply, warmup_steps, num_samples, thinning, dense_mass,
+                 max_depth):
+    """Cached jitted vmapped chain runner — rebuilding the vmap wrapper per
+    call costs seconds of host-side retracing in the BO loop."""
+    from functools import partial as _partial
+
+    return jax.jit(jax.vmap(
+        _partial(run_chain, apply, num_warmup=warmup_steps,
+                 num_samples=num_samples, thinning=thinning,
+                 dense_mass=dense_mass, max_depth=max_depth),
+        in_axes=(None, 0, 0)))
+
+
 def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                    temp: float = 1.0, dense_mass: bool = True,
                    max_tree_depth: int = 6, **kwargs) -> Dict:
@@ -221,13 +235,8 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     init_z = jnp.asarray(np.log(inits) - np.log1p(-inits))
 
     keys = jax.random.split(key, num_chains)
-    from functools import partial as _partial
-
-    runner = jax.vmap(
-        _partial(run_chain, apply, num_warmup=int(warmup_steps),
-                 num_samples=int(num_samples), thinning=int(thinning),
-                 dense_mass=dense_mass, max_depth=int(max_tree_depth)),
-        in_axes=(None, 0, 0))
+    runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
+                          int(thinning), bool(dense_mass), int(max_tree_depth))
     zs, logps, diag = runner(ctx, init_z, keys)
 
     xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
