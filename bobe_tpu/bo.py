@@ -300,10 +300,14 @@ class BOBE:
         self.results_manager.start_timing("GP Training")
         self.n_points_since_last_fit += new_pts_u.shape[0]
         n = self.gp.npoints
+        # adaptive refit schedule (reference bo.py:639-653). Iteration caps
+        # are lower than the reference's scipy budgets: device L-BFGS steps
+        # are latency-priced and the relative-ftol patience rule terminates
+        # converged restarts well before the cap.
         if n < 200:
-            refit_threshold, maxiter, n_restarts = min(2, self.fit_n_points), 1000, 8
+            refit_threshold, maxiter, n_restarts = min(2, self.fit_n_points), 300, 8
         elif n < 750:
-            refit_threshold, maxiter, n_restarts = self.fit_n_points, 500, 4
+            refit_threshold, maxiter, n_restarts = self.fit_n_points, 250, 4
         else:
             refit_threshold, maxiter, n_restarts = max(40, self.fit_n_points), 200, 4
 
@@ -563,7 +567,7 @@ class BOBE:
             best_y = float(jnp.max(self.gp.train_y)) if self.gp.train_y.size else 0.0
             acq_kwargs = {"zeta": self.zeta_ei, "best_y": best_y}
             new_pts_u, acq_vals = self.get_next_batch(
-                acq_kwargs, n_batch=1, n_restarts=50, maxiter=1000,
+                acq_kwargs, n_batch=1, n_restarts=50, maxiter=300,
                 early_stop_patience=50, step=ii)
             new_vals = self.evaluate_likelihood(new_pts_u, ii)
             current_evals += 1
