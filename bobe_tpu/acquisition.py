@@ -28,7 +28,17 @@ import numpy as np
 
 from .models import gp as gpm
 from .ops import optimize as opt_ops
-from .ops.fantasy import fantasy_var_single, posterior_batch, wip_sweep
+from .ops.fantasy import (
+    fantasy_var_single,
+    posterior_batch,
+    wip_greedy_batch,
+    wip_sweep,
+)
+
+# local refinement of pool candidates is skipped above this GP size
+# (reference acquisition.py:400); the fused single-dispatch greedy batch
+# applies in the same regime
+REFINE_MAX_N = 500
 from .ops.special import ei_helper, log_ei_helper
 from .utils.log import get_logger
 from .utils.seed import get_numpy_rng
@@ -82,6 +92,27 @@ def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool,
         acq = wip_sweep(cfg.kernel, mc_points, V, var, ls, amp, cfg.noise,
                         state.y_std, use_std)
         return acq, V, var
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def _wip_batch_core(cfg: gpm.GPTrainConfig, use_std: bool, n_batch: int,
+                    sweep_dtype: str = "float64"):
+    """Jitted fused greedy batch: posterior solve + n_batch rank-1 downdate
+    selections in ONE dispatch (ops/fantasy.wip_greedy_batch)."""
+    sdt = jnp.dtype(sweep_dtype)
+
+    def run(state, mc_points):
+        if sdt != state.x.dtype:
+            state = gpm._cast_state(state, sdt)
+            mc_points = mc_points.astype(sdt)
+        ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
+        V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
+                                 mc_points, ls, amp, cfg.noise)
+        idx, vals = wip_greedy_batch(cfg.kernel, mc_points, V, var, ls, amp,
+                                     cfg.noise, state.y_std, use_std, n_batch)
+        return mc_points[idx], vals
 
     return jax.jit(run)
 
@@ -220,6 +251,33 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
 
     _use_std = False
 
+    def get_next_batch(self, gp, n_batch: int = 1, acq_kwargs=None,
+                       maxiter: int = 500, n_restarts: int = 8,
+                       verbose: bool = True, early_stop_patience: int = 25,
+                       rng=None):
+        """Greedy batch. Above REFINE_MAX_N points (where the per-member
+        local polish is skipped anyway, reference acquisition.py:400) the
+        whole batch is selected in ONE fused device dispatch via the rank-1
+        downdate identity; below, the reference's hallucination loop runs."""
+        if n_batch <= 1 or gp.npoints <= REFINE_MAX_N:
+            return super().get_next_batch(
+                gp, n_batch=n_batch, acq_kwargs=acq_kwargs, maxiter=maxiter,
+                n_restarts=n_restarts, verbose=verbose,
+                early_stop_patience=early_stop_patience, rng=rng)
+
+        rng = rng if rng is not None else get_numpy_rng()
+        acq_kwargs = dict(acq_kwargs or {})
+        mc_samples = acq_kwargs.get("mc_samples")
+        mc_points_size = int(acq_kwargs.get("mc_points_size", 128))
+        mc_points = jnp.asarray(get_mc_points(
+            mc_samples, mc_points_size=mc_points_size, rng=rng))
+        import os as _os
+
+        core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch),
+                               _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64"))
+        pts, vals = core(gp.state, mc_points)
+        return np.asarray(pts), np.asarray(vals)
+
     def fun(self, x, gp, mc_points=None, k_train_mc=None):
         fv = gp.fantasy_var(x, mc_points, k_train_mc)
         if self._use_std:
@@ -250,7 +308,7 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         x0 = mc_points[i_best]
         log.debug(f"{self.name} min over MC pool: {acq_min:.4e}")
 
-        if gp.npoints > 500:  # skip polish at large N (reference :400)
+        if gp.npoints > REFINE_MAX_N:  # skip polish at large N (reference :400)
             return np.asarray(x0), acq_min
 
         refine = _wip_refine_core(gp.cfg, self._use_std, int(maxiter))

@@ -63,6 +63,45 @@ def wip_sweep(kernel_name, xq, V, var, lengthscales, amp, noise, y_std, use_std)
     return jnp.mean(fantasy, axis=1) * y_std**2
 
 
+def wip_greedy_batch(kernel_name, xq, V, var, lengthscales, amp, noise,
+                     y_std, use_std, n_batch: int):
+    """Select a greedy batch of n_batch pool candidates in one fused kernel.
+
+    Equivalent to the reference's hallucination loop (append the GP-mean
+    "fantasy" observation, re-optimize; acquisition.py:147-196) restricted to
+    pool candidates: adding a point with y = its predicted mean leaves the
+    posterior MEAN unchanged (kriging property) and updates the covariance by
+    the rank-1 downdate
+
+        var'(m)   = var(m)   - w_m^2,      w = C[i*, :] / sqrt(var(i*))
+        C'(a, m)  = C(a, m)  - w_a w_m
+
+    so the whole batch needs NO Cholesky updates and no dummy GP — just
+    n_batch rounds of elementwise updates on the (m, m) posterior covariance.
+    Returns (idx (n_batch,), acq_vals (n_batch,)).
+    """
+    Kqq = kr.cross_kernel(kernel_name, xq, xq, lengthscales, amp)
+    C = Kqq - V.T @ V
+    scale = y_std if use_std else y_std**2
+
+    idxs = []
+    vals = []
+    for _ in range(n_batch):
+        fantasy = var[None, :] - (C * C) / var[:, None]
+        fantasy = jnp.maximum(
+            jnp.where(jnp.isnan(fantasy), config.SAFE_NOISE_FLOOR, fantasy),
+            config.SAFE_NOISE_FLOOR)
+        red = jnp.sqrt(fantasy) if use_std else fantasy
+        acq = jnp.mean(red, axis=1) * scale
+        i_star = jnp.argmin(acq)
+        idxs.append(i_star)
+        vals.append(acq[i_star])
+        w = C[i_star, :] / jnp.sqrt(jnp.maximum(var[i_star], config.SAFE_NOISE_FLOOR))
+        var = jnp.maximum(var - w * w, config.SAFE_NOISE_FLOOR)
+        C = C - jnp.outer(w, w)
+    return jnp.stack(idxs), jnp.stack(vals)
+
+
 def fantasy_var_single(
     kernel_name, x_pad, mask, L, x_new, mc_points, V, var_mc,
     lengthscales, amp, noise,
