@@ -100,10 +100,8 @@ class _TreeState(NamedTuple):
     logp_prop: jax.Array
     grad_prop: jax.Array
     lw: jax.Array            # logsumexp of leaf weights
-    z_first: jax.Array       # endpoint adjacent to the existing tree
-    p_first: jax.Array
-    z_last: jax.Array        # far endpoint
-    p_last: jax.Array
+    z_last: jax.Array        # far endpoint (the merged tree keeps its old
+    p_last: jax.Array        # near endpoint, so only the far one is tracked)
     grad_last: jax.Array
     logp_last: jax.Array
     rho: jax.Array           # sum of momenta over leaves
@@ -181,7 +179,7 @@ def _build_subtree(vg, key, depth_limit, n_steps, z0, p0, grad0, logp0,
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
     tree0 = _TreeState(
         z_prop=z0, logp_prop=logp0, grad_prop=grad0, lw=neg_inf,
-        z_first=z0, p_first=p0, z_last=z0, p_last=p0, grad_last=grad0,
+        z_last=z0, p_last=p0, grad_last=grad0,
         logp_last=logp0, rho=jnp.zeros(d, dt),
         turning=jnp.asarray(False), diverging=jnp.asarray(False),
         sum_accept=jnp.asarray(0.0, dt), n_leaves=jnp.asarray(0, jnp.int32),
@@ -191,13 +189,9 @@ def _build_subtree(vg, key, depth_limit, n_steps, z0, p0, grad0, logp0,
     carry = (jnp.asarray(0, jnp.int32), key, z0, p0, grad0, logp0, tree0,
              p_ck0, r_ck0, jnp.zeros(d, dt))
     carry = lax.while_loop(cond, body, carry)
-    tree = carry[6]
-    # the first generated leaf is adjacent to the tree; endpoint bookkeeping:
-    # z_first/p_first must be the first NEW leaf, not z0.  We recover it from
-    # the checkpoint at level-0 boundary (leaf 0 stored p at ck... simpler:
-    # the caller only needs the far endpoint and rho; the adjacent endpoint of
-    # the merged tree stays the old tree endpoint).
-    return tree
+    # the merged tree keeps its OLD near endpoint; the caller only needs the
+    # subtree's far endpoint (z_last/p_last) and its momentum sum rho
+    return carry[6]
 
 
 class NutsCarry(NamedTuple):
