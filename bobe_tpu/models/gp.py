@@ -169,7 +169,15 @@ def extend(state: GPState, cfg: GPTrainConfig, new_x, new_y) -> GPState:
     close = jnp.isclose(state.x[None, :, :], new_x[:, None, :],
                         atol=DEDUP_ATOL, rtol=DEDUP_RTOL)
     dup = jnp.any(jnp.all(close, axis=-1) & (mask[None, :] > 0), axis=1)  # (b,)
-    accept = ~dup
+    # --- dedupe within the batch: drop point i if it duplicates any earlier
+    # batch member j < i (two near-identical members make the Schur complement
+    # singular; conservative with a non-transitive tolerance, which only ever
+    # drops an extra near-duplicate)
+    close_nn = jnp.all(jnp.isclose(new_x[:, None, :], new_x[None, :, :],
+                                   atol=DEDUP_ATOL, rtol=DEDUP_RTOL), axis=-1)
+    earlier = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
+    dup_batch = jnp.any(close_nn & earlier, axis=1)
+    accept = ~(dup | dup_batch)
     # stable compaction: accepted points first
     order = jnp.argsort(~accept, stable=True)
     xs = new_x[order]
@@ -196,13 +204,21 @@ def extend(state: GPState, cfg: GPTrainConfig, new_x, new_y) -> GPState:
     y_new = lax.dynamic_update_slice(state.y_raw, ys, (n,))
     n_new = n + jnp.sum(accept).astype(n.dtype)
 
-    state = state._replace(x=x_new, y_raw=y_new, n=n_new, chol=chol_new)
-    # re-standardize (alpha changes, the factor does not: K is y-independent)
-    mask2 = state.mask()
-    y_mean, y_std = _standardize(state.y_raw, mask2, state.n)
-    state = state._replace(y_mean=y_mean, y_std=y_std)
-    alpha = chol_ops.cho_solve(state.chol, _y_standardized(state))
-    return state._replace(alpha=alpha)
+    state = state._replace(x=x_new, y_raw=y_new, n=n_new)
+
+    def _use_incremental(st: GPState) -> GPState:
+        st = st._replace(chol=chol_new)
+        y_mean, y_std = _standardize(st.y_raw, st.mask(), st.n)
+        st = st._replace(y_mean=y_mean, y_std=y_std)
+        alpha = chol_ops.cho_solve(st.chol, _y_standardized(st))
+        return st._replace(alpha=alpha)
+
+    # Safety net for the hot incremental path: an ill-conditioned Schur
+    # complement (near-duplicate point just outside the dedupe tolerance)
+    # yields a NaN block factor — fall back to a full refresh, whose jitter
+    # ladder (ops/chol.cholesky_jittered) always produces a finite state.
+    ok = jnp.all(jnp.isfinite(L21)) & jnp.all(jnp.isfinite(L22))
+    return lax.cond(ok, _use_incremental, lambda st: refresh(st, cfg), state)
 
 
 def predict_raw(state: GPState, cfg: GPTrainConfig, xq):

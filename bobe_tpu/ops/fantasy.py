@@ -86,6 +86,10 @@ def wip_greedy_batch(kernel_name, xq, V, var, lengthscales, amp, noise,
 
     idxs = []
     vals = []
+    # already-selected candidates are masked out of the argmin so a batch can
+    # never contain duplicates even when a degenerate downdate leaves the
+    # selected candidate's acquisition unchanged
+    taken = jnp.zeros((xq.shape[0],), dtype=bool)
     for _ in range(n_batch):
         fantasy = var[None, :] - (C * C) / var[:, None]
         fantasy = jnp.maximum(
@@ -93,7 +97,9 @@ def wip_greedy_batch(kernel_name, xq, V, var, lengthscales, amp, noise,
             config.SAFE_NOISE_FLOOR)
         red = jnp.sqrt(fantasy) if use_std else fantasy
         acq = jnp.mean(red, axis=1) * scale
-        i_star = jnp.argmin(acq)
+        acq_masked = jnp.where(taken, jnp.inf, acq)
+        i_star = jnp.argmin(acq_masked)
+        taken = taken.at[i_star].set(True)
         idxs.append(i_star)
         vals.append(acq[i_star])
         w = C[i_star, :] / jnp.sqrt(jnp.maximum(var[i_star], config.SAFE_NOISE_FLOOR))

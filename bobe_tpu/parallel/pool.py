@@ -91,9 +91,13 @@ class SerialPool(EvalPool):
 _WORKER_LIKELIHOOD = None
 
 
-def _mp_init(likelihood, base_seed):
+def _mp_init(payload, base_seed):
     global _WORKER_LIKELIHOOD
-    _WORKER_LIKELIHOOD = likelihood
+    if isinstance(payload, bytes):  # cloudpickle transport (spawn/forkserver)
+        import cloudpickle
+
+        payload = cloudpickle.loads(payload)
+    _WORKER_LIKELIHOOD = payload
     from ..utils import seed as seed_mod
 
     if base_seed is not None:
@@ -111,18 +115,30 @@ def _mp_cobaya_point(seed_i):
 
 
 class MultiprocessPool(EvalPool):
-    """Fork-based worker pool for one host.
+    """Worker-process pool for one host.
 
     Dynamic scheduling comes from multiprocessing's work queue
     (imap_unordered); results are index-tagged to restore order and any worker
     exception propagates to the caller (fail-fast), matching the reference's
     scheduler semantics (pool.py:143-206).
+
+    Workers start via ``forkserver`` by default: forking a process that has
+    initialized a JAX backend (always true here — jax is imported at
+    interpreter startup) can deadlock on the backend's internal threads, and
+    the forkserver's server process never touches a device. Likelihoods are
+    shipped to workers with cloudpickle so closures/lambdas survive the
+    non-fork start method.
+
+    NOTE: as with any non-fork start method, user scripts must create the
+    pool under ``if __name__ == "__main__":`` (standard Python
+    multiprocessing requirement; all bundled examples do).
     """
 
-    def __init__(self, n_workers: Optional[int] = None, seed: Optional[int] = None):
+    def __init__(self, n_workers: Optional[int] = None, seed: Optional[int] = None,
+                 start_method: str = "forkserver"):
         import multiprocessing as mp
 
-        self._mp = mp.get_context("fork")
+        self._mp = mp.get_context(start_method)
         self.size = n_workers or max(1, os.cpu_count() or 1)
         self._seed = seed
         self._pool = None
@@ -132,8 +148,11 @@ class MultiprocessPool(EvalPool):
         if self._pool is None or self._likelihood is not likelihood:
             self.close()
             self._likelihood = likelihood
+            import cloudpickle
+
+            payload = cloudpickle.dumps(likelihood)
             self._pool = self._mp.Pool(
-                self.size, initializer=_mp_init, initargs=(likelihood, self._seed))
+                self.size, initializer=_mp_init, initargs=(payload, self._seed))
 
     def run_map_objective(self, likelihood, points) -> np.ndarray:
         points = np.atleast_2d(np.asarray(points))
@@ -207,11 +226,14 @@ class DistributedPool(EvalPool):
         return vals
 
     def run_map_objective(self, likelihood, points) -> np.ndarray:
-        points = np.atleast_2d(np.asarray(points))
+        # float64 throughout: collectives must post identical shape+dtype
+        # buffers on every rank (workers post float64 zeros in worker_loop)
+        points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         if self.size == 1:
             return SerialPool().run_map_objective(likelihood, points)
         if self.is_main_process:
-            self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]]))
+            self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]],
+                                   dtype=np.float64))
             pts = self._bcast(points)
         else:
             pts = points  # workers receive the broadcast inside worker_loop
@@ -260,12 +282,12 @@ class DistributedPool(EvalPool):
     def get_cobaya_initial_points(self, likelihood, n_points, rng=None):
         if self.size == 1:
             return SerialPool().get_cobaya_initial_points(likelihood, n_points, rng)
-        self._bcast(np.asarray([self.TASK_COBAYA, n_points, 0]))
+        self._bcast(np.asarray([self.TASK_COBAYA, n_points, 0], dtype=np.float64))
         return self._cobaya_shard(likelihood, n_points)
 
     def close(self):
         if self.size > 1 and self.is_main_process:
-            self._bcast(np.asarray([self.TASK_EXIT, 0, 0]))
+            self._bcast(np.asarray([self.TASK_EXIT, 0, 0], dtype=np.float64))
 
 
 def make_pool(kind: str = "auto", **kwargs) -> EvalPool:

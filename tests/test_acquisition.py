@@ -127,3 +127,23 @@ def test_fused_greedy_batch_matches_hallucination_loop(gp):
     # amp*y_std^2 (a quirk of the dummy-GP construction, reference
     # acquisition.py:174-194); the downdate path keeps the physical GP fixed
     np.testing.assert_allclose(np.asarray(vals_fused), vals_seq, rtol=0.1)
+
+
+def test_greedy_batch_distinct_indices_on_degenerate_pool(gp):
+    """A degenerate (all-identical) candidate pool must still yield n_batch
+    DISTINCT pool indices: already-selected candidates are masked out of the
+    argmin, so a degenerate downdate can never re-pick the same point."""
+    import jax.numpy as jnp
+
+    from bobe_tpu.ops.fantasy import posterior_batch, wip_greedy_batch
+
+    st, cfg = gp.state, gp.cfg
+    ls, amp = jnp.exp(st.log_ls), jnp.exp(st.log_amp)
+    pool = jnp.tile(jnp.asarray([[0.4, 0.6]]), (16, 1))
+    V, var = posterior_batch(cfg.kernel, st.x, st.mask(), st.chol, pool,
+                             ls, amp, cfg.noise)
+    idx, vals = wip_greedy_batch(cfg.kernel, pool, V, var, ls, amp, cfg.noise,
+                                 st.y_std, True, 4)
+    idx = np.asarray(idx)
+    assert len(set(idx.tolist())) == 4
+    assert np.all(np.isfinite(np.asarray(vals)))

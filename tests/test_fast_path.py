@@ -58,12 +58,23 @@ def test_f32_sweep_tracks_f64_on_wellposed_gp(gp_noisy):
     assert a64[i32] <= np.quantile(a64, 0.25) + 1e-12
 
 
-def test_default_sweep_is_f64_in_acquisition():
-    """The production acquisition path uses f64 sweeps (cancellation safety);
-    see acquisition.WeightedIntegratedPosteriorBase.get_next_point."""
-    import inspect
+def test_default_sweep_is_f64_in_acquisition(gp_noisy, monkeypatch):
+    """The production acquisition path must request f64 sweeps (cancellation
+    safety). Checked behaviorally: spy on which sweep-core dtype the public
+    ``get_next_point`` asks for."""
+    from bobe_tpu import acquisition as acq_mod
 
-    from bobe_tpu import acquisition
+    requested = []
+    orig = acq_mod._wip_sweep_core
 
-    src = inspect.getsource(acquisition.WeightedIntegratedPosteriorBase.get_next_point)
-    assert "float64" in src
+    def spy(cfg, use_std, dtype):
+        requested.append(dtype)
+        return orig(cfg, use_std, dtype)
+
+    monkeypatch.setattr(acq_mod, "_wip_sweep_core", spy)
+    rng = np.random.default_rng(3)
+    mc = {"x": rng.uniform(size=(32, 3))}
+    acq_mod.WIPStd().get_next_point(
+        gp_noisy, acq_kwargs={"mc_samples": mc, "mc_points_size": 16},
+        maxiter=10, rng=rng)
+    assert requested and all(dt == "float64" for dt in requested)

@@ -190,3 +190,63 @@ def test_fixed_kernel_variance():
     assert gp.num_hyperparams == 2
     gp.fit(n_restarts=2, maxiter=50)
     assert gp.kernel_variance == pytest.approx(2.5)
+
+
+def test_extend_duplicate_and_epsilon_close_batches_stay_finite():
+    """Within-batch dedupe + the NaN-fallback-to-refresh safety net: updating
+    with exact-duplicate and epsilon-close batches must leave a finite state
+    whose predictions match a from-scratch rebuild."""
+    x, y = make_data(14, 2, seed=21)
+    gp = GP(train_x=x, train_y=y)
+    # batch with an exact internal duplicate -> only one lands
+    gp.update(jnp.asarray([[0.21, 0.31], [0.21, 0.31]]), jnp.asarray([-1.5, -1.5]))
+    assert gp.npoints == 15
+    # batch with two members inside the dedupe tolerance of each other
+    eps = 1e-8
+    gp.update(jnp.asarray([[0.61, 0.71], [0.61 + eps, 0.71 - eps]]),
+              jnp.asarray([-2.5, -2.5]))
+    assert gp.npoints == 16
+    # batch with members just OUTSIDE the dedupe tolerance (atol 1e-6 +
+    # rtol 1e-4: ~4e-5 at x=0.41) -> ill-conditioned but both must land finite
+    sep = 2e-4
+    gp.update(jnp.asarray([[0.41, 0.81], [0.41 + sep, 0.81]]),
+              jnp.asarray([-3.0, -3.0001]))
+    assert gp.npoints == 18
+    assert np.all(np.isfinite(np.asarray(gp.state.chol)))
+    assert np.all(np.isfinite(np.asarray(gp.state.alpha)))
+    # predictions agree with a from-scratch rebuild of the same data
+    gp2 = GP(train_x=gp.train_x, train_y=gp.train_y_raw,
+             lengthscales=gp.lengthscales, kernel_variance=gp.kernel_variance)
+    xq = jnp.asarray(np.random.default_rng(22).uniform(size=(6, 2)))
+    np.testing.assert_allclose(np.asarray(gp.predict_mean_batched(xq)),
+                               np.asarray(gp2.predict_mean_batched(xq)),
+                               rtol=1e-5, atol=1e-8)
+    v1 = np.asarray(gp.predict_var_batched(xq))
+    v2 = np.asarray(gp2.predict_var_batched(xq))
+    np.testing.assert_allclose(v1, v2, rtol=1e-3, atol=1e-8)
+
+
+def test_extend_nan_factor_falls_back_to_refresh():
+    """If the incremental block extension produces a non-finite factor, extend
+    must fall back to a full jitter-laddered refresh: a poisoned Cholesky
+    buffer heals on the next update instead of silently propagating NaN."""
+    import jax.numpy as jnp2
+
+    from bobe_tpu.models.gp import extend
+
+    x, y = make_data(10, 2, seed=31)
+    gp = GP(train_x=x, train_y=y)
+    bad = gp.state._replace(chol=gp.state.chol.at[0, 0].set(jnp2.nan))
+    new_x = jnp.asarray([[0.91, 0.13]])
+    new_y = jnp.asarray([-4.0])
+    healed = extend(bad, gp.cfg, new_x, new_y)
+    assert int(healed.n) == 11
+    assert np.all(np.isfinite(np.asarray(healed.chol)))
+    assert np.all(np.isfinite(np.asarray(healed.alpha)))
+    # and the healed state predicts like a clean from-scratch build
+    gp.update(new_x, new_y)
+    xq = jnp.asarray(np.random.default_rng(32).uniform(size=(5, 2)))
+    from bobe_tpu.models.gp import predict_mean
+    np.testing.assert_allclose(np.asarray(predict_mean(healed, gp.cfg, xq)),
+                               np.asarray(gp.predict_mean_batched(xq)),
+                               rtol=1e-6, atol=1e-9)
