@@ -59,10 +59,12 @@ def minimize_restarts(
     bounds=None,
     method: str = "lbfgs",
     maxiter: int = 200,
-    patience: int = 10,
+    patience: int = 6,
     learning_rate: float = 1e-2,
     gtol: float = 1e-6,
     ftol: float = 1e-9,
+    decrease_factor: float = 0.5,
+    max_backtracking_steps: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``fun`` from each row of x0 (R, p); returns (best_x, best_f).
 
@@ -81,7 +83,13 @@ def minimize_restarts(
 
     if bounds_arr is not None:
         z0 = jax.vmap(lambda x: _to_z(x, bounds_arr))(x0)
-        obj = lambda z: fun(_to_x(z, bounds_arr))
+        # the z-clip lives INSIDE the objective (instead of clipping the
+        # iterate post-update) so the line search's stored value/grad at the
+        # accepted point stay exact and can be reused — saving one full
+        # objective+gradient evaluation per L-BFGS iteration. Outside the
+        # clip range the gradient is exactly zero, so saturated coordinates
+        # simply stop moving (patience retires stuck lanes).
+        obj = lambda z: fun(_to_x(jnp.clip(z, -_Z_CLIP, _Z_CLIP), bounds_arr))
     else:
         z0 = x0
         obj = fun
@@ -94,11 +102,17 @@ def minimize_restarts(
         # scale(-1) turns the lbfgs direction into a DESCENT update: the zoom
         # linesearch negates internally but the backtracking one does not
         # (without it every step is rejected and the optimizer stalls).
+        # The search compiles to a FIXED-trip loop under vmap, so every
+        # iteration pays max_backtracking_steps objective evaluations whether
+        # accepted early or not — keep the cap small and shrink fast (0.5)
+        # to cover the same step range (measured A/B on TPU, BENCH_NOTES.md).
         opt = optax.chain(
             optax.scale_by_lbfgs(),
             optax.scale(-1.0),
             optax.scale_by_backtracking_linesearch(
-                max_backtracking_steps=20, store_grad=True),
+                max_backtracking_steps=max_backtracking_steps,
+                decrease_factor=decrease_factor,
+                store_grad=True),
         )
     elif method == "adam":
         opt = optax.adam(learning_rate)
@@ -125,9 +139,14 @@ def minimize_restarts(
         else:
             updates, new_state = opt.update(c["grad"], c["state"], c["z"])
         z_new = optax.apply_updates(c["z"], updates)
-        if bounds_arr is not None:
-            z_new = jnp.clip(z_new, -_Z_CLIP, _Z_CLIP)
-        v_new, g_new = vg(z_new)
+        if method == "lbfgs":
+            # the backtracking search (store_grad=True) already evaluated the
+            # objective and gradient at the accepted z_new — reuse instead of
+            # re-dispatching a Gram+Cholesky evaluation
+            v_new = optax.tree_utils.tree_get(new_state, "value")
+            g_new = optax.tree_utils.tree_get(new_state, "grad")
+        else:
+            v_new, g_new = vg(z_new)
         ok = jnp.isfinite(v_new)
         # scipy-style relative ftol: improvements below ftol*|f| don't reset
         # patience, so converged lanes retire instead of spinning to maxiter

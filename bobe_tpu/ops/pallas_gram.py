@@ -1,23 +1,35 @@
 """Pallas TPU kernel: fused masked Gram matrix build.
 
-Computes, one (128, 128) VMEM-resident tile per grid step:
+Computes in ONE kernel launch:
 
     K[i, j] = mask_i mask_j * amp * corr(|x_i/ls - x_j/ls|^2)
               + (noise mask_i + (1 - mask_i)) * [i == j]
 
 i.e. the scaled-distance matmul, the kernel nonlinearity, the activity
 masking and the noise/identity diagonal of ops/kernels.gram_masked fused into
-one pass — the XLA version materializes the squared-distance matrix through
-HBM between the matmul and the exp.
+one VMEM-resident pass — the XLA version materializes the squared-distance
+matrix through HBM between the matmul and the exp and lowers to several
+kernels.
 
-Status: measurement-driven optional path. At cap<=1024 the GP fit is
-latency-bound (XLA's chol runs in ~0.03 ms; one MLL evaluation is ~5 ms of
-pipeline latency), so this kernel does not move the headline bench; it
-matters at cap >= 4096 where the O(cap^2 d) distance build becomes
-bandwidth-bound. float32 only (Pallas TPU has no f64).
+TPU-compilation notes (each learned from a real Mosaic crash on this
+remote-compile toolchain; the CPU interpret path accepted all broken
+variants):
+  * only identity-style block index maps legalize — (i, 0) row-tile maps,
+    (1, TILE) vector blocks and (1, 1) SMEM scalars all fail ("failed to
+    legalize func.return" / layout bitwidth checks). The kernel is therefore
+    GRID-FREE: full arrays as single VMEM blocks, which caps it at
+    cap <= 1024 (4 MB output + operands well inside the ~16 MB VMEM);
+  * coordinates are zero-padded to 128 lanes ((cap, d) blocks with d < 128
+    fail layout legalization); zero columns add nothing to distances;
+  * mask/amp/noise travel in one (cap, 128) aux array (mask lane 0, amp
+    replicated lane 1, noise lane 2) consumed as column-vector broadcasts —
+    no scalar loads;
+  * constants must be explicit float32: with jax_enable_x64 a bare Python
+    float promotes a branch to f64 and Mosaic checks bitwidth <= 32.
 
-Correctness is pinned against ops/kernels.gram_masked in tests/test_pallas.py
-(interpret mode on CPU, compiled on TPU).
+float32 only (Pallas TPU has no f64). Correctness is pinned against
+ops/kernels.gram_masked in tests/test_pallas.py (interpret mode on CPU,
+compiled on TPU).
 """
 from __future__ import annotations
 
@@ -30,38 +42,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+MAX_GRIDFREE_CAP = 1024  # 4 MB f32 output; stays well inside VMEM
 SQRT5 = math.sqrt(5.0)
+F32 = jnp.float32
 
 
-def _gram_kernel(kernel_name, xa_ref, xb_ref, ma_ref, mb_ref, amp_ref,
-                 noise_ref, out_ref):
-    """One (TILE, TILE) output tile; inputs are the matching row/col tiles."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    xa = xa_ref[...]            # (TILE, d) row tile, pre-scaled by 1/ls
-    xb = xb_ref[...]            # (TILE, d) col tile
-    ma = ma_ref[...][0]         # (TILE,)
-    mb = mb_ref[...][0]
+def _gram_kernel(kernel_name, x_ref, aux_ref, out_ref):
+    """Whole padded Gram in one step; x (cap, 128) pre-scaled by 1/ls."""
+    x = x_ref[...]
+    aux = aux_ref[...]          # (cap, 128): lane0 mask, lane1 amp, lane2 noise
+    m = aux[:, 0]
+    amp_col = aux[:, 1]
+    noise_col = aux[:, 2]
 
-    a2 = jnp.sum(xa * xa, axis=1)[:, None]
-    b2 = jnp.sum(xb * xb, axis=1)[None, :]
-    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32)
-    dsq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    a2 = jnp.sum(x * x, axis=1)
+    ab = jnp.dot(x, x.T, preferred_element_type=F32)
+    dsq = jnp.maximum(a2[:, None] + a2[None, :] - F32(2.0) * ab, F32(0.0))
 
     if kernel_name == "rbf":
-        corr = jnp.exp(-0.5 * dsq)
+        corr = jnp.exp(F32(-0.5) * dsq)
     else:  # matern-5/2
-        d = jnp.sqrt(jnp.maximum(dsq, 1e-30))
-        corr = (1.0 + SQRT5 * d + (5.0 / 3.0) * dsq) * jnp.exp(-SQRT5 * d)
+        d = jnp.sqrt(jnp.maximum(dsq, F32(1e-30)))
+        corr = (F32(1.0) + F32(SQRT5) * d + F32(5.0 / 3.0) * dsq) \
+            * jnp.exp(F32(-SQRT5) * d)
 
-    amp = amp_ref[0, 0]
-    noise = noise_ref[0, 0]
-    k = amp * corr * (ma[:, None] * mb[None, :])
+    k = corr * (m[:, None] * m[None, :]) * amp_col[:, None]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-    eye = jnp.where((rows == cols) & (i == j), 1.0, 0.0).astype(k.dtype)
-    out_ref[...] = k + (noise * ma + (1.0 - ma))[:, None] * eye
+    cap = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+    eye = (rows == cols).astype(F32)
+    out_ref[...] = k + (noise_col * m + (F32(1.0) - m))[:, None] * eye
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_name", "interpret"))
@@ -69,36 +80,25 @@ def gram_masked_pallas(kernel_name, x, mask, lengthscales, kernel_variance,
                        noise, interpret: bool = False):
     """Drop-in f32 replacement for ops/kernels.gram_masked on TPU.
 
-    x: (cap, d) with cap a multiple of 128. Returns (cap, cap) float32.
+    x: (cap, d) with cap a multiple of 128, cap <= MAX_GRIDFREE_CAP, d <= 128.
+    Returns (cap, cap) float32.
     """
     cap, d = x.shape
     assert cap % TILE == 0, f"cap must be a multiple of {TILE}"
-    xs = (x / lengthscales).astype(jnp.float32)
-    mask2d = mask.astype(jnp.float32).reshape(1, cap)
-    amp = jnp.full((1, 1), kernel_variance, dtype=jnp.float32)
-    nz = jnp.full((1, 1), noise, dtype=jnp.float32)
+    assert cap <= MAX_GRIDFREE_CAP, (
+        f"cap={cap} exceeds the grid-free VMEM budget ({MAX_GRIDFREE_CAP}); "
+        "use ops/kernels.gram_masked")
+    assert d <= TILE, f"d must be <= {TILE}"
+    xs = (x / lengthscales).astype(F32)
+    xs = jnp.pad(xs, ((0, 0), (0, TILE - d)))
+    aux = jnp.zeros((cap, TILE), dtype=F32)
+    aux = aux.at[:, 0].set(mask.astype(F32))
+    aux = aux.at[:, 1].set(jnp.asarray(kernel_variance, F32))
+    aux = aux.at[:, 2].set(jnp.asarray(noise, F32))
 
-    grid = (cap // TILE, cap // TILE)
     kern = functools.partial(_gram_kernel, kernel_name)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((cap, cap), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),   # row tile of xs
-            pl.BlockSpec((TILE, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),   # col tile of xs
-            pl.BlockSpec((1, TILE), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),   # row mask
-            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),   # col mask
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),   # amp
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),   # noise
-        ],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap, cap), F32),
         interpret=interpret,
-    )(xs, xs, mask2d, mask2d, amp, nz)
+    )(xs, aux)
