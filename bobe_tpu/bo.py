@@ -664,9 +664,12 @@ class BOBE:
             self.results_manager.end_timing("GP Training")
             log.info("Final Nested Sampling")
             self.results_manager.start_timing("Nested Sampling")
+            # dynamic=True: posterior-bulk refinement batch on top of the
+            # static pass, matching the reference's final dynesty
+            # DynamicNestedSampler run (reference bo.py:1346-1367)
             self.ns_samples, logz_dict, ns_success = nested_sampling(
                 gp=self.gp, mode="convergence", dlogz=0.01, maxcall=int(5e6),
-                rng=self.np_rng)
+                dynamic=True, rng=self.np_rng)
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(
                 f"{k}={logz_dict[k]:.4f}" for k in logz_keys if k in logz_dict))

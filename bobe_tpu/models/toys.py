@@ -76,3 +76,81 @@ def make_gaussian(d, mean=None, sigma=0.1, bounds_width=1.0):
         )
     logz = float(np.log(mass) - d * np.log(bounds_width))
     return loglike, bounds, logz
+
+
+def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=1.0):
+    """Synthetic "planck-like" likelihood with ANALYTIC logZ: curved
+    degeneracies + a hard failure region, the regime of the reference's
+    cosmology runs (/root/reference/docs/source/examples/cosmology.rst:278,
+    6 params, ~5% posterior-to-prior widths, Boltzmann-code failures handled
+    by the classifier-GP).
+
+    Construction (d >= 6): z_j = (x_j - mu_j) / sigma_j, then unit-Jacobian
+    triangular shears create curved degeneracies:
+
+        u0 = z0
+        u1 = z1 + alpha (z0^2 - 1)     (banana pair 0-1)
+        u2 = z2
+        u3 = z3 + gamma (z2^2 - 1)     (banana pair 2-3)
+        u4 = z4 + delta z0 z2          (3-way coupling)
+        u_j = z_j  (j >= 5)
+
+    loglike = log N(u; 0, I) - sum log sigma_j, so under the likelihood
+    measure the u_j are iid standard normal and the integral over x is
+    EXACTLY the u-space Gaussian mass. A hard failure region u1 > c_fail
+    ("theory code fails", curved boundary in x-space) raises RuntimeError,
+    which the Likelihood adapter maps to minus_inf. Hence
+
+        logZ = log Phi(c_fail) - log V_prior  + log(1 - eps_box)
+
+    with eps_box < 1e-12 by construction (prior widths cover >= 8 sd of
+    every z_j including the shear-inflated tails). Returns
+    (loglike, bounds, names, logz_true).
+    """
+    from scipy.stats import norm
+
+    assert d >= 6
+    rng = np.random.default_rng(12345)
+    # cosmology-flavoured scales: every parameter a different magnitude
+    mu = np.array([0.32, 0.05, 0.68, 0.97, 3.05, 0.81] + [0.5] * (d - 6))[:d]
+    sigma = np.array([0.011, 0.008, 0.012, 0.004, 0.015, 0.006]
+                     + [0.01] * (d - 6))[:d]
+    # z-tail inflation from the shears: sd(z1)^2 = 1 + 2 alpha^2 etc.
+    zspan = np.full(d, 10.0)
+    zspan[1] = 10.0 * np.sqrt(1 + 2 * alpha**2) + 10.0 * abs(alpha)
+    zspan[3] = 10.0 * np.sqrt(1 + 2 * gamma**2) + 10.0 * abs(gamma)
+    zspan[4] = 10.0 * np.sqrt(1 + delta**2) + 10.0 * abs(delta)
+    lo = mu - zspan * sigma
+    hi = mu + zspan * sigma
+    bounds = np.vstack([lo, hi])
+    names = ["omegam", "omegab", "h", "ns", "logA", "sigma8"][:d] + [
+        f"x_{j}" for j in range(6, d)]
+    log_v = float(np.sum(np.log(hi - lo)))
+    const = -0.5 * d * np.log(2 * np.pi) - float(np.sum(np.log(sigma)))
+
+    def _warp(z):
+        u = np.array(z, dtype=float, copy=True)
+        u[1] = z[1] + alpha * (z[0] ** 2 - 1.0)
+        u[3] = z[3] + gamma * (z[2] ** 2 - 1.0)
+        u[4] = z[4] + delta * z[0] * z[2]
+        return u
+
+    def loglike(x):
+        z = (np.asarray(x, dtype=float) - mu) / sigma
+        u = _warp(z)
+        if u[1] > c_fail:
+            raise RuntimeError("synthetic theory code failed (u1 beyond cut)")
+        return float(-0.5 * np.sum(u * u) + const)
+
+    def unwarp(u):
+        """Inverse shear (for importance-sampling cross-checks)."""
+        z = np.array(u, dtype=float, copy=True)
+        z[1] = u[1] - alpha * (u[0] ** 2 - 1.0)
+        z[3] = u[3] - gamma * (u[2] ** 2 - 1.0)
+        z[4] = u[4] - delta * u[0] * u[2]
+        return mu + sigma * z
+
+    logz_true = float(np.log(norm.cdf(c_fail)) - log_v)
+    loglike.unwarp = unwarp
+    loglike.c_fail = c_fail
+    return loglike, bounds, names, logz_true

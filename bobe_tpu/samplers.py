@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .infer import integrals
-from .infer.nested import run_nested
+from .infer.nested import run_nested, run_nested_dynamic
 from .infer.nuts import run_chain
 from .models import gp as gpm
 from .utils.core import renormalise_log_weights, resample_equal
@@ -117,12 +117,6 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     maxcall = maxcall if maxcall is not None else maxcall_default
     if mode == "acq":
         equal_weights = True
-    if dynamic:
-        # dynesty's dynamic mode reallocates live points toward the posterior
-        # bulk for better sample quality; the batched sampler approximates
-        # that by doubling the live population (denser dead-point coverage
-        # everywhere, including the bulk) for final runs.
-        nlive *= 2
 
     rng = rng if rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
@@ -134,9 +128,17 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     if getattr(gp, "use_clf", False):
         live_x, live_logl = _seed_live_points(gp, loglike, nlive, ndim, rng)
 
-    res = run_nested(apply_fn, ctx, ndim, key, nlive=nlive, dlogz=dlogz,
-                     maxcall=maxcall, live_x=live_x, live_logl=live_logl,
-                     rng=rng, **ns_kwargs)
+    if dynamic:
+        # dynesty DynamicNestedSampler semantics (reference bo.py:1346-1367):
+        # static base pass + posterior-bulk refinement batch, merged with the
+        # varying-live-count volume schedule (infer/nested.run_nested_dynamic)
+        res = run_nested_dynamic(apply_fn, ctx, ndim, key, nlive=nlive,
+                                 dlogz=dlogz, maxcall=maxcall, live_x=live_x,
+                                 live_logl=live_logl, rng=rng, **ns_kwargs)
+    else:
+        res = run_nested(apply_fn, ctx, ndim, key, nlive=nlive, dlogz=dlogz,
+                         maxcall=maxcall, live_x=live_x, live_logl=live_logl,
+                         rng=rng, **ns_kwargs)
     log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
               f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
 
