@@ -116,11 +116,16 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
             lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
 
             def shrink_body(c):
-                it, key, lo, hi, x_cur, l_cur, done = c
+                it, nev, key, lo, hi, x_cur, l_cur, done = c
                 key, k_t = random.split(key)
                 t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
                 x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
                 l_try = loglike_fn(x_try)
+                # exact eval accounting: only not-yet-done lanes consume a
+                # surrogate call this round (dynesty-equivalent ncall
+                # semantics; the batched evaluation itself is one fused
+                # device op either way)
+                nev = nev + jnp.sum(~done).astype(nev.dtype)
                 ok = (l_try > lstar) & ~done
                 x_cur = jnp.where(ok[:, None], x_try, x_cur)
                 l_cur = jnp.where(ok, l_try, l_cur)
@@ -129,21 +134,22 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
                 shrink_left = (~done) & (t < 0)
                 lo = jnp.where(shrink_left, t, lo)
                 hi = jnp.where((~done) & (t >= 0), t, hi)
-                return it + 1, key, lo, hi, x_cur, l_cur, done
+                return it + 1, nev, key, lo, hi, x_cur, l_cur, done
 
             def shrink_cond(c):
-                it, _, _, _, _, _, done = c
+                it, _, _, _, _, _, _, done = c
                 return (it < max_shrink) & ~jnp.all(done)
 
             done0 = jnp.zeros(K, bool)
-            it, _, _, _, x_cur, l_cur, done = lax.while_loop(
+            nev0 = jnp.asarray(0, jnp.int64)
+            it, nev, _, _, _, x_cur, l_cur, done = lax.while_loop(
                 shrink_cond, shrink_body,
-                (0, k_s, lo, hi, x_cur, l_cur, done0))
-            return (x_cur, l_cur), it
+                (0, nev0, k_s, lo, hi, x_cur, l_cur, done0))
+            return (x_cur, l_cur), nev
 
         rep_keys = random.split(k_loop, n_repeats)
-        (x_new, l_new), its = lax.scan(one_repeat, (x_cur, l_cur), rep_keys)
-        calls = (jnp.sum(its) * K).astype(jnp.int64)
+        (x_new, l_new), nevs = lax.scan(one_repeat, (x_cur, l_cur), rep_keys)
+        calls = jnp.sum(nevs).astype(jnp.int64)
         return x_new, l_new, calls
 
     def body(c):
