@@ -59,7 +59,7 @@ def minimize_restarts(
     bounds=None,
     method: str = "lbfgs",
     maxiter: int = 200,
-    patience: int = 6,
+    patience: int = 5,
     learning_rate: float = 1e-2,
     gtol: float = 1e-6,
     ftol: float = 1e-9,
