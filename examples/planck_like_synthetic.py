@@ -31,8 +31,8 @@ def main(max_evals=500, seed=3):
     )
     results = bobe.run(
         acq="wipstd", min_evals=120, max_evals=max_evals, max_gp_size=600,
-        logz_threshold=0.02, fit_n_points=8, batch_size=4, ns_n_points=12,
-        convergence_n_iters=2,
+        logz_threshold=0.05, fit_n_points=8, batch_size=4, ns_n_points=12,
+        convergence_n_iters=2, do_final_ns=True,
     )
     logz = results["logz"]
     err = abs(logz["mean"] - logz_true)
