@@ -501,19 +501,29 @@ class GP:
         return int(self.state.n)
 
     @property
+    def gp_size(self) -> int:
+        """Number of ACTIVE GP training rows (== state.n). Buffer slicing
+        must use this, never ``npoints``: GPwithClassifier overrides
+        ``npoints`` to the full classifier-set size (reference clf_gp.py:466
+        semantics), which is larger than the GP subset — slicing padded
+        buffers by it leaks pad rows (y=0, x=0.5) into best-point
+        bookkeeping and saved states."""
+        return int(self.state.n)
+
+    @property
     def train_x(self):
-        return self.state.x[: self.npoints]
+        return self.state.x[: self.gp_size]
 
     @property
     def train_y(self):
         """Standardized targets (n, 1), matching the reference convention."""
-        n = self.npoints
+        n = self.gp_size
         y = (self.state.y_raw[:n] - self.state.y_mean) / self.state.y_std
         return y.reshape(-1, 1)
 
     @property
     def train_y_raw(self):
-        return self.state.y_raw[: self.npoints]
+        return self.state.y_raw[: self.gp_size]
 
     @property
     def y_mean(self):
@@ -545,12 +555,12 @@ class GP:
 
     @property
     def cholesky(self):
-        n = self.npoints
+        n = self.gp_size
         return self.state.chol[:n, :n]
 
     @property
     def alphas(self):
-        return self.state.alpha[: self.npoints].reshape(-1, 1)
+        return self.state.alpha[: self.gp_size].reshape(-1, 1)
 
     def kernel(self, xa, xb, lengthscales, kernel_variance, noise, include_noise=True):
         """Dense kernel evaluation (reference-compatible signature)."""
@@ -618,7 +628,7 @@ class GP:
         """Add points (dedupe + incremental Cholesky extension)."""
         new_x = jnp.atleast_2d(jnp.asarray(new_x, dtype=jnp.float64))
         new_y = jnp.asarray(new_y, dtype=jnp.float64).reshape(-1)
-        self._grow_to(self.npoints + new_x.shape[0])
+        self._grow_to(self.gp_size + new_x.shape[0])
         self.state = _extend_jit(self.state, self.cfg, new_x, new_y)
 
     def recompute_cholesky(self):
@@ -680,7 +690,7 @@ class GP:
     def state_dict(self) -> Dict[str, Any]:
         """Reference-compatible state dict (gp.py:587-636); train_y is stored
         unstandardized."""
-        n = self.npoints
+        n = self.gp_size
         return {
             "train_x": np.asarray(self.train_x),
             "train_y": np.asarray(self.train_y_raw).reshape(-1, 1),
