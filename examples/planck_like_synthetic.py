@@ -12,17 +12,23 @@ against truth rather than against another sampler.
 import numpy as np
 
 from bobe_tpu import BOBE
-from bobe_tpu.models.toys import make_planck_like
+from bobe_tpu.models.toys import make_planck_like, planck_like_ref_draws
 
 
 def main(max_evals=500, seed=3):
     loglike, bounds, names, logz_true = make_planck_like()
+    # reference-distribution seeding, as the cosmology runs do via the
+    # Cobaya YAML ref dists (8 draws from a broadened posterior shape)
+    rng = np.random.default_rng(seed)
+    ref_x, ref_y = planck_like_ref_draws(loglike, bounds, 8, rng)
     bobe = BOBE(
         loglikelihood=loglike,
         param_list=names,
         param_bounds=bounds,
         n_sobol_init=48,
         n_cobaya_init=0,
+        init_train_x=ref_x,
+        init_train_y=ref_y,
         use_clf=True,
         clf_type="svm",
         seed=seed,

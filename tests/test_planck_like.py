@@ -43,16 +43,24 @@ def test_planck_like_clf_run_budget_capped():
     analytic truth (the full-budget |dlogZ| <= 0.1 number is recorded in
     BENCH_NOTES from examples/planck_like_synthetic.py)."""
     from bobe_tpu import BOBE
+    from bobe_tpu.models.toys import planck_like_ref_draws
 
     loglike, bounds, names, logz_true = make_planck_like()
+    # reference-distribution seeding (the cosmology runs get this from the
+    # Cobaya YAML ref dists); with a hard failure region covering most of
+    # the prior volume, the MC pools must also track the surrogate posterior
+    # (NUTS) — uniform pools leave the classifier-gated acquisition trapped
+    # in the initial feasible blob (measured; see BENCH_NOTES)
+    rng = np.random.default_rng(3)
+    ref_x, ref_y = planck_like_ref_draws(loglike, bounds, 8, rng)
     bobe = BOBE(loglikelihood=loglike, param_list=names, param_bounds=bounds,
-                n_sobol_init=48, n_cobaya_init=0, use_clf=True,
+                n_sobol_init=48, n_cobaya_init=0, init_train_x=ref_x,
+                init_train_y=ref_y, use_clf=True,
                 clf_type="svm", seed=3, save=False, verbosity="WARNING")
     res = bobe.run(acq="wipstd", min_evals=60, max_evals=200, max_gp_size=400,
                    logz_threshold=0.3, fit_n_points=8, batch_size=4,
                    ns_n_points=12, convergence_n_iters=1, do_final_ns=True,
-                   mc_points_method="uniform", num_hmc_warmup=128,
-                   num_hmc_samples=128)
+                   num_hmc_warmup=256, num_hmc_samples=256)
     assert res is not None and "logz" in res, res.get("termination_reason")
     err = abs(res["logz"]["mean"] - logz_true)
     assert np.isfinite(res["logz"]["mean"])
