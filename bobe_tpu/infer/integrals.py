@@ -11,19 +11,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def trapezoid_logz(logl, logvol, squared: bool = False):
+def trapezoid_logz(logl, logvol, squared: bool = False,
+                   lv_start: float = 0.0):
     """Cumulative logZ via the trapezoid rule.
 
     logl: (n,) dead-point log-likelihoods in sampling order (ascending-ish).
-    logvol: (n,) log prior volumes, decreasing from ~0.
+    logvol: (n,) log prior volumes, decreasing from ~lv_start.
     squared: use (dX)^2 instead of dX (for the variance integral
              Var ~ int sigma^2 L^2 dX^2 used by the reference :179-183).
+    lv_start: log volume the shrinkage ledger started at (log feasible
+              fraction for rejection-seeded classifier-gated runs, else 0).
     Returns (n,) cumulative logZ values.
     """
     logl = np.asarray(logl, dtype=np.float64)
     logvol = np.asarray(logvol, dtype=np.float64)
     # log(X_{i-1} - X_i) = logvol_{i-1} + log1p(-exp(logvol_i - logvol_{i-1}))
-    lv_prev = np.concatenate([[0.0], logvol[:-1]])
+    lv_prev = np.concatenate([[lv_start], logvol[:-1]])
     dd = np.clip(logvol - lv_prev, None, -1e-300)
     logdvol = lv_prev + np.log1p(-np.exp(dd))
     if squared:
@@ -34,38 +37,39 @@ def trapezoid_logz(logl, logvol, squared: bool = False):
     return np.logaddexp.accumulate(logwt)
 
 
-def logwt_from(logl, logvol):
+def logwt_from(logl, logvol, lv_start: float = 0.0):
     """Per-point trapezoid log-weights (unnormalized posterior weights)."""
     logl = np.asarray(logl, dtype=np.float64)
     logvol = np.asarray(logvol, dtype=np.float64)
-    lv_prev = np.concatenate([[0.0], logvol[:-1]])
+    lv_prev = np.concatenate([[lv_start], logvol[:-1]])
     dd = np.clip(logvol - lv_prev, None, -1e-300)
     logdvol = lv_prev + np.log1p(-np.exp(dd))
     l_prev = np.concatenate([[-1e300], logl[:-1]])
     return np.logaddexp(logl, l_prev) + logdvol + np.log(0.5)
 
 
-def information_and_err(logl, logvol, logz, nlive):
+def information_and_err(logl, logvol, logz, nlive, lv_start: float = 0.0):
     """KL information H and the classic logZ error sqrt(H / nlive)."""
-    logwt = logwt_from(logl, logvol)
+    logwt = logwt_from(logl, logvol, lv_start=lv_start)
     wt = np.exp(logwt - logz)
     h = np.sum(wt * (np.asarray(logl) - logz))
     h = max(h, 0.0)
     return h, float(np.sqrt(h / max(nlive, 1)))
 
 
-def logz_bounds_from_gp_sigma(logl, logvol, sigma):
+def logz_bounds_from_gp_sigma(logl, logvol, sigma, lv_start: float = 0.0):
     """Upper/lower logZ by re-integrating logl +/- sigma over the same volumes,
     plus the variance integral var_logz = exp( log int sigma^2 L^2 dX^2 - 2 logZ )
     — the same uncertainty construction as the reference (samplers.py:172-185).
     """
     logl = np.asarray(logl, dtype=np.float64)
     sigma = np.asarray(sigma, dtype=np.float64)
-    mean = trapezoid_logz(logl, logvol)[-1]
-    upper = trapezoid_logz(logl + sigma, logvol)[-1]
-    lower = trapezoid_logz(logl - sigma, logvol)[-1]
+    mean = trapezoid_logz(logl, logvol, lv_start=lv_start)[-1]
+    upper = trapezoid_logz(logl + sigma, logvol, lv_start=lv_start)[-1]
+    lower = trapezoid_logz(logl - sigma, logvol, lv_start=lv_start)[-1]
     var = np.clip(sigma**2, 1e-12, 1e12)
-    varint = trapezoid_logz(2.0 * logl + np.log(var), logvol, squared=True)[-1]
+    varint = trapezoid_logz(2.0 * logl + np.log(var), logvol, squared=True,
+                            lv_start=lv_start)[-1]
     log_var_logz = np.clip(varint - 2.0 * mean, -100.0, 100.0)
     var_logz = np.exp(log_var_logz)
     return {

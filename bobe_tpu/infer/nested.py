@@ -51,6 +51,10 @@ class NSResult(NamedTuple):
     nlive_schedule: np.ndarray = None  # (n_total,) own live count per death
     #   (batch kills decay within a batch; final unwind decays to 1) — the
     #   input merge_runs needs for varying-live-count recombination
+    logvol0: float = 0.0    # log prior volume the live set was seeded in
+    #   (log of the feasible fraction for classifier-gated surrogates whose
+    #   live points are rejection-seeded inside the feasible region; the
+    #   evidence integrals must start their first volume shell here)
 
 
 def _slice_directions(key, live_x, n_dir, mask):
@@ -81,7 +85,7 @@ def _chord_bounds(x, e):
 
 @partial(jax.jit, static_argnames=("loglike_apply", "nlive", "kill_k",
                                    "max_dead", "n_repeats", "max_shrink", "d"))
-def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
+def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
              nlive: int, kill_k: int, max_dead: int, n_repeats: int,
              max_shrink: int, d: int, dlogz: float, maxcall: int):
     """The jitted NS main loop. Returns padded dead buffers + counters.
@@ -197,7 +201,7 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key,
         jnp.asarray(0, jnp.int32), key, live_x0, live_logl0,
         jnp.zeros((max_dead, d), dt), jnp.full((max_dead,), neg),
         jnp.full((max_dead,), neg),
-        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt), neg,
+        jnp.asarray(0, jnp.int32), jnp.asarray(logvol0, dt), neg,
         jnp.asarray(0, jnp.int64),
     )
     out = lax.while_loop(cond, body, init)
@@ -211,13 +215,22 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                dlogz: float = 0.01, maxcall: int = int(5e6),
                kill_frac: float = 0.1, n_repeats: int | None = None,
                max_shrink: int = 40, max_dead: int | None = None,
-               live_x=None, live_logl=None, rng=None) -> NSResult:
+               live_x=None, live_logl=None, rng=None,
+               logvol0: float = 0.0) -> NSResult:
     """Run nested sampling; ``loglike_apply(ctx, x)`` maps (m, d) -> (m,).
 
     ``loglike_apply`` must be a stable (cacheable) function and ``ctx`` the
     traced data it needs. live_x/live_logl optionally seed the live set
     (classifier-aware seeding happens in samplers.py, mirroring reference
     samplers.py:129-155).
+
+    ``logvol0``: log prior volume the seeded live set actually covers. For
+    classifier-gated surrogates the live points are rejection-seeded inside
+    the feasible region (the minus_inf floor outside is a likelihood PLATEAU
+    covering most of the prior); starting the shrinkage ledger at the log
+    feasible fraction is the exact volume accounting for that restricted
+    support — the role dynesty's plateau handling plays for the reference
+    (without it logZ is biased up by -f - log(1-f), ~ +0.8 at f ~ 0.8).
     """
     dt = jnp.float64
     if live_x is None:
@@ -239,7 +252,8 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
 
     (live_x, live_logl, dead_x, dead_logl, dead_lv, n_dead, logvol, logz,
      n_iter, calls) = _ns_loop(
-        loglike_apply, ctx, live_x, live_logl, key, nlive, K, max_dead,
+        loglike_apply, ctx, live_x, live_logl, key,
+        jnp.asarray(float(logvol0), dt), nlive, K, max_dead,
         int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall))
 
     n_dead = int(n_dead)
@@ -268,7 +282,7 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
 
     success = bool(n_dead > 0 and not np.all(all_logl == all_logl[0]))
     return NSResult(all_x, all_logl, all_lv, float(logz), int(calls),
-                    int(n_iter), nlive, success, schedule)
+                    int(n_iter), nlive, success, schedule, float(logvol0))
 
 
 @partial(jax.jit, static_argnames=("loglike_apply", "n_repeats", "max_shrink"))
@@ -317,8 +331,12 @@ def _decorrelate(loglike_apply, ctx, x0, l0, lstar, key,
     return x_new, l_new, jnp.sum(its) * n
 
 
-def merge_runs(runs):
+def merge_runs(runs, logvol0: float = 0.0):
     """Merge NS runs with dynesty's varying-live-count combine.
+
+    ``logvol0``: log prior volume the merged runs' base live sets cover
+    (log feasible fraction for rejection-seeded classifier-gated runs; the
+    merged shrinkage ledger starts there).
 
     runs: list of (dead_x, dead_logl, nlive_schedule, logl_bound) where
     nlive_schedule[i] is the run's OWN live count at its i-th death (batch
@@ -353,7 +371,7 @@ def merge_runs(runs):
         n_at_death += alive
     n_at_death = np.maximum(n_at_death, 1.0)
 
-    logvol = np.cumsum(np.log(n_at_death / (n_at_death + 1.0)))
+    logvol = logvol0 + np.cumsum(np.log(n_at_death / (n_at_death + 1.0)))
     return xs, logls, logvol
 
 
@@ -361,7 +379,7 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
                        dlogz: float = 0.01, maxcall: int = int(5e6),
                        batch_frac: float = 1.0, wt_threshold: float = 0.01,
                        live_x=None, live_logl=None, rng=None,
-                       **ns_kwargs) -> NSResult:
+                       logvol0: float = 0.0, **ns_kwargs) -> NSResult:
     """Dynamic nested sampling: base pass + posterior-bulk refinement batch.
 
     Mirrors dynesty's DynamicNestedSampler as used by the reference's final
@@ -376,7 +394,7 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     k_base, k_batch = random.split(key)
     base = run_nested(loglike_apply, ctx, d, k_base, nlive=nlive, dlogz=dlogz,
                       maxcall=maxcall, live_x=live_x, live_logl=live_logl,
-                      rng=rng, **ns_kwargs)
+                      rng=rng, logvol0=logvol0, **ns_kwargs)
     if not base.success:
         return base
 
@@ -385,7 +403,8 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     # the same region)
     from . import integrals
 
-    logwt = integrals.logwt_from(base.dead_logl, base.logvol)
+    logwt = integrals.logwt_from(base.dead_logl, base.logvol,
+                                 lv_start=base.logvol0)
     keep = logwt >= logwt.max() + np.log(wt_threshold)
     l_lo = float(base.dead_logl[np.argmax(keep)])  # first True in logl order
 
@@ -397,8 +416,9 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     if above.sum() < 2:
         return base
     lv = base.logvol[above]
-    lv_prev = np.concatenate([[0.0 if l_lo == -np.inf else
-                               float(np.max(base.logvol[~above], initial=0.0))],
+    lv_prev = np.concatenate([[base.logvol0 if l_lo == -np.inf else
+                               float(np.max(base.logvol[~above],
+                                            initial=base.logvol0))],
                               lv[:-1]])
     dvol = np.exp(lv_prev) - np.exp(lv)
     dvol = np.clip(dvol, 1e-300, None)
@@ -421,8 +441,8 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     xs, logls, logvol = merge_runs([
         (base.dead_x, base.dead_logl, base.nlive_schedule, -np.inf),
         (batch.dead_x, batch.dead_logl, batch.nlive_schedule, l_lo),
-    ])
-    logwt_m = integrals.logwt_from(logls, logvol)
+    ], logvol0=logvol0)
+    logwt_m = integrals.logwt_from(logls, logvol, lv_start=logvol0)
     from scipy.special import logsumexp
     logz = float(logsumexp(logwt_m))
     # merged schedule: re-derive alive counts at each merged death (needed
@@ -432,4 +452,5 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
                     base.n_calls + batch.n_calls + int(dec_calls),
                     base.n_iter + batch.n_iter,
                     base.nlive + batch.nlive,
-                    bool(base.success and batch.success), sched)
+                    bool(base.success and batch.success), sched,
+                    float(logvol0))

@@ -81,23 +81,58 @@ def ns_settings(mode: str, ndim: int) -> Tuple[int, float, int]:
 
 
 def _seed_live_points(gp, loglike, nlive, ndim, rng):
-    """Classifier-aware live seeding: rejection over 5000*d GP evaluations so
-    the live set is not all minus_inf (reference samplers.py:129-151)."""
-    maxtries = 1000
+    """Classifier-aware live seeding with exact plateau volume accounting.
+
+    The classifier-gated surrogate is a minus_inf PLATEAU over most of the
+    prior; running NS with plateau points in the live set and the standard
+    exponential shrinkage biases logZ up by -f - log(1-f) (f = infeasible
+    prior fraction; ~ +0.8 at f ~ 0.8). The reference leaves this to
+    dynesty's plateau handling (its rejection seeding, samplers.py:129-151,
+    feeds dynesty which shrinks plateaus linearly). Here the live set is
+    rejection-seeded strictly inside the feasible region and the shrinkage
+    ledger starts at log(f_feasible) — the exact restricted-support
+    treatment: f_hat from the uniform proposal pool is the binomial MLE of
+    the feasible fraction.
+
+    Returns (live_x, live_logl, logvol0, var_logvol0); the fallback (too few
+    feasible points found) reverts to the reference's mixed live set with
+    logvol0 = 0.
+    """
+    maxtries = 20
     nlogl = 5000 * ndim
+    floor = float(getattr(gp, "minus_inf", -np.inf))
+    feas_x, feas_l = [], []
+    n_drawn = n_feas = 0
+    for _ in range(maxtries):
+        x = rng.uniform(size=(nlogl, ndim))
+        logl = np.asarray(loglike(jnp.asarray(x)))
+        ok = logl > floor
+        n_drawn += nlogl
+        n_feas += int(ok.sum())
+        feas_x.append(x[ok]), feas_l.append(logl[ok])
+        if n_feas >= nlive:
+            break
+    fx, fl = np.concatenate(feas_x), np.concatenate(feas_l)
+    if n_feas >= nlive and not np.all(fl[:nlive] == fl[0]):
+        idx = rng.choice(n_feas, size=nlive, replace=False)
+        f_hat = n_feas / n_drawn
+        # binomial delta-method error of log(f_hat)
+        var_logvol0 = (1.0 - f_hat) / (n_drawn * f_hat)
+        return fx[idx], fl[idx], float(np.log(f_hat)), float(var_logvol0)
+    # fall back (essentially no feasible volume found by uniform proposals):
+    # reference-style mixed live set, one forced-valid point, no volume shift
+    log.warning(
+        f"live seeding found only {n_feas}/{n_drawn} feasible points; "
+        "falling back to a mixed live set (logZ may carry plateau bias)")
     x = rng.uniform(size=(nlogl, ndim))
     logl = np.asarray(loglike(jnp.asarray(x)))
-    for i in range(maxtries):
-        idx = rng.choice(nlogl, size=nlive, replace=False)
-        if not np.all(logl[idx] == logl[idx][0]):
-            return x[idx], logl[idx]
-    # fall back: force one valid point
     idx = rng.choice(nlogl, size=nlive, replace=False)
-    pt = gp.get_random_point(rng=rng, nstd=1.0)
     lx, ll = x[idx], logl[idx]
-    lx[0] = pt
-    ll[0] = float(loglike(jnp.asarray(pt)[None, :])[0])
-    return lx, ll
+    if np.all(ll == ll[0]):
+        pt = gp.get_random_point(rng=rng, nstd=1.0)
+        lx[0] = pt
+        ll[0] = float(loglike(jnp.asarray(pt)[None, :])[0])
+    return lx, ll, 0.0, 0.0
 
 
 def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
@@ -125,8 +160,10 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     loglike = lambda x: apply_fn(ctx, x)
 
     live_x = live_logl = None
+    logvol0, var_logvol0 = 0.0, 0.0
     if getattr(gp, "use_clf", False):
-        live_x, live_logl = _seed_live_points(gp, loglike, nlive, ndim, rng)
+        live_x, live_logl, logvol0, var_logvol0 = _seed_live_points(
+            gp, loglike, nlive, ndim, rng)
 
     if dynamic:
         # dynesty DynamicNestedSampler semantics (reference bo.py:1346-1367):
@@ -134,24 +171,31 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
         # varying-live-count volume schedule (infer/nested.run_nested_dynamic)
         res = run_nested_dynamic(apply_fn, ctx, ndim, key, nlive=nlive,
                                  dlogz=dlogz, maxcall=maxcall, live_x=live_x,
-                                 live_logl=live_logl, rng=rng, **ns_kwargs)
+                                 live_logl=live_logl, rng=rng,
+                                 logvol0=logvol0, **ns_kwargs)
     else:
         res = run_nested(apply_fn, ctx, ndim, key, nlive=nlive, dlogz=dlogz,
                          maxcall=maxcall, live_x=live_x, live_logl=live_logl,
-                         rng=rng, **ns_kwargs)
+                         rng=rng, logvol0=logvol0, **ns_kwargs)
     log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
               f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
 
     # ---- evidence + GP-uncertainty bounds (reference samplers.py:172-185)
     var = np.asarray(gp.predict_var_batched(jnp.asarray(res.dead_x)))
     sigma = np.sqrt(np.clip(var, 0.0, None))
-    logz_dict = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol, sigma)
+    logz_dict = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol,
+                                                    sigma, lv_start=res.logvol0)
     h, logzerr = integrals.information_and_err(res.dead_logl, res.logvol,
-                                               logz_dict["mean"], res.nlive)
-    logz_dict["dlogz_sampler"] = logzerr
+                                               logz_dict["mean"], res.nlive,
+                                               lv_start=res.logvol0)
+    # the feasible-fraction estimate carries its own (binomial) uncertainty
+    logz_dict["var"] += var_logvol0
+    logz_dict["std"] = float(2.0 * np.sqrt(logz_dict["var"]))
+    logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
 
-    logwt = integrals.logwt_from(res.dead_logl, res.logvol)
+    logwt = integrals.logwt_from(res.dead_logl, res.logvol,
+                                 lv_start=res.logvol0)
     weights = renormalise_log_weights(logwt)
     samples_x, logl = res.dead_x, res.dead_logl
     success = res.success and not np.all(logl == logl[0])

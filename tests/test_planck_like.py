@@ -57,13 +57,23 @@ def test_planck_like_clf_run_budget_capped():
                 n_sobol_init=48, n_cobaya_init=0, init_train_x=ref_x,
                 init_train_y=ref_y, use_clf=True,
                 clf_type="svm", seed=3, save=False, verbosity="WARNING")
-    res = bobe.run(acq="wipstd", min_evals=60, max_evals=200, max_gp_size=400,
-                   logz_threshold=0.3, fit_n_points=8, batch_size=4,
+    res = bobe.run(acq="wipstd", min_evals=60, max_evals=280, max_gp_size=400,
+                   logz_threshold=0.2, fit_n_points=8, batch_size=4,
                    ns_n_points=12, convergence_n_iters=1, do_final_ns=True,
                    num_hmc_warmup=256, num_hmc_samples=256)
     assert res is not None and "logz" in res, res.get("termination_reason")
     err = abs(res["logz"]["mean"] - logz_true)
     assert np.isfinite(res["logz"]["mean"])
     assert err < 0.5, (res["logz"], logz_true)
-    # the classifier actually engaged (failure points exist and are filtered)
-    assert bobe.gp.clf_data_size > bobe.gp.npoints
+    # the reported GP bounds must be calibrated: truth inside them, widened
+    # by the sampler error (full-budget |dlogZ| <= 0.1 parity is recorded in
+    # BENCH_NOTES from examples/planck_like_synthetic.py)
+    pad = 2.0 * res["logz"].get("dlogz_sampler", 0.0) + 0.1
+    assert res["logz"]["lower"] - pad <= logz_true <= res["logz"]["upper"] + pad, \
+        (res["logz"], logz_true)
+    # the classifier actually engaged: the full dataset (clf set) is strictly
+    # larger than the active GP subset (failures sit below gp_threshold and
+    # are excluded from the GP rows; npoints aliases clf_data_size here,
+    # matching reference clf_gp.py:466)
+    assert bobe.gp.clf_data_size > int(bobe.gp.state.n)
+    assert float(np.min(bobe.gp.train_y_clf)) <= bobe.gp.minus_inf

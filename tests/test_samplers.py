@@ -55,3 +55,88 @@ def test_sample_gp_nuts_on_gp(gp_gaussian):
     np.testing.assert_allclose(x.std(0), 0.15, atol=0.05)
     assert out["logp"].shape == (x.shape[0],)
     assert out["best"].shape == (2,)
+
+
+# ---------------------------------------------------------------- plateau fix
+
+class _GatedToy:
+    """Duck-typed classifier-gated surrogate: Gaussian centered inside
+    {x0 >= cut} (the failure boundary at 1.5 sigma, the realistic clf-GP
+    regime), a minus_inf plateau over the 60% of the box below the cut."""
+    minus_inf = -1e10
+    use_clf = True
+
+    def __init__(self, d=2, cut=0.6, sigma=0.1, c0=0.75):
+        self.d, self.cut, self.sigma, self.c0 = d, cut, sigma, c0
+
+    def _center(self):
+        c = np.full(self.d, 0.5)
+        c[0] = self.c0
+        return c
+
+    def loglike(self, x):
+        c = jnp.asarray(self._center())
+        ll = (-0.5 * jnp.sum(((x - c) / self.sigma) ** 2, axis=-1)
+              - 0.5 * self.d * jnp.log(2 * jnp.pi * self.sigma**2))
+        return jnp.where(x[..., 0] >= self.cut, ll, self.minus_inf)
+
+    def logz_true(self):
+        from scipy.stats import norm
+        m0 = (norm.cdf((1.0 - self.c0) / self.sigma)
+              - norm.cdf((self.cut - self.c0) / self.sigma))
+        mb = norm.cdf(0.5 / self.sigma) - norm.cdf(-0.5 / self.sigma)
+        return float(np.log(m0) + (self.d - 1) * np.log(mb))
+
+    def get_random_point(self, rng=None, nstd=1.0):
+        return np.full(self.d, 0.7)
+
+
+def test_seed_live_points_feasible_fraction():
+    """Rejection seeding must return an all-feasible live set and the
+    log feasible fraction (the NS ledger start) with its binomial variance."""
+    from bobe_tpu.samplers import _seed_live_points
+
+    toy = _GatedToy()
+    rng = np.random.default_rng(0)
+    ll = lambda x: toy.loglike(x)
+    lx, lgl, logvol0, var0 = _seed_live_points(toy, ll, 100, toy.d, rng)
+    assert lx.shape == (100, toy.d) and np.all(lgl > toy.minus_inf)
+    # feasible fraction is exactly 1 - cut = 0.4 of the unit box
+    assert abs(logvol0 - np.log(0.4)) < 0.05
+    assert 0 < var0 < 1e-3
+
+
+def test_plateau_volume_accounting_unbiased():
+    """NS over a classifier-gated (plateau) surrogate: the restricted-support
+    ledger must remove the -f - log(1-f) plateau bias (the role dynesty's
+    plateau handling plays for the reference). Regression for the +0.77
+    planck-like evidence bias (BENCH_NOTES round 2)."""
+    import jax
+
+    from bobe_tpu.infer import integrals
+    from bobe_tpu.infer.nested import run_nested
+    from bobe_tpu.samplers import _seed_live_points
+
+    toy = _GatedToy()
+    lz_true = toy.logz_true()
+    rng = np.random.default_rng(3)
+    apply_fn = lambda ctx, x: toy.loglike(x)
+    ll = lambda x: toy.loglike(x)
+    lx, lgl, logvol0, _ = _seed_live_points(toy, ll, 300, toy.d, rng)
+    res = run_nested(apply_fn, None, toy.d, jax.random.PRNGKey(7), nlive=300,
+                     dlogz=0.01, live_x=lx, live_logl=lgl, logvol0=logvol0)
+    lz = integrals.trapezoid_logz(res.dead_logl, res.logvol,
+                                  lv_start=res.logvol0)[-1]
+    assert abs(lz - lz_true) < 0.15, (lz, lz_true)
+
+    # control: the pre-fix behavior (plateau points in the live set, ledger
+    # at 0) is biased high by ~ -f - log(1-f); keep the demonstration so the
+    # bias magnitude stays documented
+    lx2 = rng.uniform(size=(300, toy.d))
+    lgl2 = np.asarray(ll(jnp.asarray(lx2)))
+    res2 = run_nested(apply_fn, None, toy.d, jax.random.PRNGKey(8), nlive=300,
+                      dlogz=0.01, live_x=lx2, live_logl=lgl2)
+    lz2 = integrals.trapezoid_logz(res2.dead_logl, res2.logvol)[-1]
+    f = toy.cut
+    predicted_bias = -f - np.log(1 - f)
+    assert lz2 - lz_true > 0.5 * predicted_bias
