@@ -63,8 +63,8 @@ def minimize_restarts(
     learning_rate: float = 1e-2,
     gtol: float = 1e-6,
     ftol: float = 1e-9,
-    decrease_factor: float = 0.5,
-    max_backtracking_steps: int = 4,
+    decrease_factor: float = 0.45,
+    max_backtracking_steps: int = 3,
     linesearch_store_grad: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``fun`` from each row of x0 (R, p); returns (best_x, best_f).
@@ -105,8 +105,9 @@ def minimize_restarts(
         # (without it every step is rejected and the optimizer stalls).
         # The search compiles to a FIXED-trip loop under vmap, so every
         # iteration pays max_backtracking_steps objective evaluations whether
-        # accepted early or not — keep the cap small and shrink fast (0.5)
-        # to cover the same step range (measured A/B on TPU, BENCH_NOTES.md).
+        # accepted early or not — keep the cap small and shrink fast (3
+        # trials at 0.45 cover the same step range per search as 4 at 0.5;
+        # measured A/B on TPU, BENCH_NOTES.md; patience covers the rest).
         # store_grad=False keeps the trials VALUE-ONLY: with store_grad=True
         # the accepted-point gradient transpose sits under a lax.cond that
         # vmap lowers to select, so every trial pays a full backward pass
