@@ -337,11 +337,14 @@ class WIPStd(WeightedIntegratedPosteriorBase):
 # ======================================================================
 
 def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
-                   method="NUTS", num_chains=4, np_rng=None, rng_key=None):
+                   method="NUTS", num_chains=4, np_rng=None, rng_key=None,
+                   warm_state=None):
     """Posterior MC samples of the GP surrogate (reference acquisition.py:468).
 
     'NUTS' -> on-device NUTS chains; 'NS' -> on-device vectorized nested
     sampling (cheap settings); 'uniform' -> scrambled Sobol in the unit cube.
+    ``warm_state``: previous NUTS call's adapted kernel (see
+    samplers.sample_gp_nuts) for cheap cross-iteration re-warming.
     """
     if method == "NUTS":
         from .samplers import sample_gp_nuts
@@ -349,7 +352,7 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
         return sample_gp_nuts(gp, warmup_steps=warmup_steps,
                               num_samples=num_samples, thinning=thinning,
                               num_chains=num_chains, np_rng=np_rng,
-                              rng_key=rng_key)
+                              rng_key=rng_key, warm_state=warm_state)
     elif method == "NS":
         from .samplers import nested_sampling
 

@@ -590,7 +590,13 @@ class BOBE:
             self.gp, warmup_steps=self.num_hmc_warmup,
             num_samples=self.num_hmc_samples, thinning=self.hmc_thinning,
             num_chains=self.hmc_num_chains, np_rng=self.np_rng,
-            rng_key=get_jax_key(), method=self.mc_points_method)
+            rng_key=get_jax_key(), method=self.mc_points_method,
+            warm_state=getattr(self, "_nuts_warm", None))
+        # cache the adapted NUTS kernel: successive iterations re-warm from
+        # it (short fixed-mass step-size re-adaptation) instead of paying the
+        # full windowed warmup against a barely-changed surrogate posterior
+        if isinstance(self.mc_samples, dict):
+            self._nuts_warm = self.mc_samples.get("warm_state")
         self.results_manager.end_timing("MCMC Sampling")
 
     def run_weighted_integrated_posterior(self, acq_func_class, ii: int = 0):

@@ -385,28 +385,42 @@ def _find_reasonable_eps(vg, z, key, mass, dense):
 
 
 @partial(jax.jit, static_argnames=("logprob_apply", "num_warmup", "num_samples",
-                                   "thinning", "dense_mass", "max_depth"))
+                                   "thinning", "dense_mass", "max_depth",
+                                   "adapt_mass"))
 def run_chain(logprob_apply, ctx, init_z, key, num_warmup=512, num_samples=1024,
-              thinning=4, dense_mass=True, max_depth=6):
+              thinning=4, dense_mass=True, max_depth=6, warm=None,
+              adapt_mass=True):
     """Warmup + sampling for a single chain. vmap over (init_z, key) for
     multiple chains. ``logprob_apply(ctx, z)`` evaluates the target; ``ctx``
     is a traced pytree (GP state) so BO iterations don't retrace.
+
+    ``warm`` (with ``adapt_mass=False``): (eps0, mass_inv, mass_chol) from a
+    previous run on a nearby target — the mass matrix is FIXED and only the
+    step size re-adapts (dual averaging) over a short ``num_warmup``. NUTS
+    transitions leave the current target invariant for ANY mass/step size,
+    so reuse affects efficiency, not correctness; callers should still guard
+    on acceptance/divergence diagnostics and fall back to a cold run.
     Returns (samples (kept, d), logps (kept,), diagnostics)."""
     d = init_z.shape[0]
     dt = init_z.dtype
     vg = jax.value_and_grad(lambda z: logprob_apply(ctx, z))
 
-    mass = (MassMatrix(jnp.eye(d, dtype=dt), jnp.eye(d, dtype=dt))
-            if dense_mass else
-            MassMatrix(jnp.ones(d, dt), jnp.ones(d, dt)))
-
     k_eps, k_warm, k_run = random.split(key, 3)
-    eps0 = _find_reasonable_eps(vg, init_z, k_eps, mass, dense_mass)
+    if warm is not None and not adapt_mass:
+        eps_w, mass_inv, mass_chol = warm
+        mass = MassMatrix(mass_inv, mass_chol)
+        eps0 = jnp.clip(eps_w, 1e-6, 1e3)
+    else:
+        mass = (MassMatrix(jnp.eye(d, dtype=dt), jnp.eye(d, dtype=dt))
+                if dense_mass else
+                MassMatrix(jnp.ones(d, dt), jnp.ones(d, dt)))
+        eps0 = _find_reasonable_eps(vg, init_z, k_eps, mass, dense_mass)
     da = _da_init(eps0)
 
     logp0, grad0 = vg(init_z)
     state0 = NutsCarry(init_z, logp0, grad0)
-    is_mass_update = _warmup_schedule(num_warmup)
+    is_mass_update = (_warmup_schedule(num_warmup) if adapt_mass
+                      else jnp.zeros(num_warmup, bool))
 
     def warm_step(carry, inp):
         state, da, mass, wf, key = carry
@@ -441,10 +455,13 @@ def run_chain(logprob_apply, ctx, init_z, key, num_warmup=512, num_samples=1024,
                                        dense_mass, max_depth)
         return (state, key), (state.z, state.logp, accept, div)
 
-    (_, _), (zs, logps, accepts, divs) = lax.scan(
+    (state_end, _), (zs, logps, accepts, divs) = lax.scan(
         sample_step, (state, k_run), None, length=num_samples)
     zs = zs[thinning - 1::thinning]
     logps = logps[thinning - 1::thinning]
     diag = {"mean_accept": jnp.mean(accepts), "n_divergent": jnp.sum(divs),
-            "step_size": eps_final}
+            "step_size": eps_final,
+            # adapted kernel + final state, reusable as next call's `warm`
+            "mass_inv": mass.inv, "mass_chol": mass.chol_mass,
+            "last_z": state_end.z}
     return zs, logps, diag

@@ -241,11 +241,22 @@ def _nuts_logprob_apply(cfg: gpm.GPTrainConfig, gated: bool, prob_threshold: flo
 
 @lru_cache(maxsize=32)
 def _nuts_runner(apply, warmup_steps, num_samples, thinning, dense_mass,
-                 max_depth):
+                 max_depth, warm: bool = False):
     """Cached jitted vmapped chain runner — rebuilding the vmap wrapper per
-    call costs seconds of host-side retracing in the BO loop."""
+    call costs seconds of host-side retracing in the BO loop. ``warm=True``
+    builds the fixed-mass variant taking a per-chain (eps, mass_inv,
+    mass_chol) warm tuple."""
     from functools import partial as _partial
 
+    if warm:
+        def _warm_chain(ctx, init_z, key, warm_tuple):
+            return run_chain(apply, ctx, init_z, key,
+                             num_warmup=warmup_steps,
+                             num_samples=num_samples, thinning=thinning,
+                             dense_mass=dense_mass, max_depth=max_depth,
+                             warm=warm_tuple, adapt_mass=False)
+
+        return jax.jit(jax.vmap(_warm_chain, in_axes=(None, 0, 0, 0)))
     return jax.jit(jax.vmap(
         _partial(run_chain, apply, num_warmup=warmup_steps,
                  num_samples=num_samples, thinning=thinning,
@@ -255,9 +266,21 @@ def _nuts_runner(apply, warmup_steps, num_samples, thinning, dense_mass,
 
 def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                    temp: float = 1.0, dense_mass: bool = True,
-                   max_tree_depth: int = 6, **kwargs) -> Dict:
+                   max_tree_depth: int = 6, warm_state: Optional[Dict] = None,
+                   **kwargs) -> Dict:
     """NUTS samples of the GP-mean posterior; returns the reference's
-    samples_dict schema (x / logp / best / method)."""
+    samples_dict schema (x / logp / best / method), plus ``warm_state``.
+
+    ``warm_state`` (the previous call's return entry): reuse the adapted
+    step size + mass matrix and continue from the previous chain ends, with
+    a short fixed-mass step-size re-adaptation instead of the full windowed
+    warmup — successive BO iterations move the surrogate posterior only
+    slightly, and re-estimating the mass from scratch each iteration is the
+    reference's single largest per-iteration MCMC cost. Guarded: if the warm
+    run's acceptance collapses or divergences appear, it is discarded and a
+    cold full-warmup run is done instead (bias can only enter through the
+    initial state, which the guard + burn-in cover; the NUTS kernel itself
+    is invariant for any mass)."""
     warmup_steps, num_samples, thinning = get_hmc_settings(
         ndim=gp.ndim, **{k: v for k, v in kwargs.items()
                          if k in ("warmup_steps", "num_samples", "thinning")})
@@ -281,9 +304,30 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     init_z = jnp.asarray(np.log(inits) - np.log1p(-inits))
 
     keys = jax.random.split(key, num_chains)
-    runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
-                          int(thinning), bool(dense_mass), int(max_tree_depth))
-    zs, logps, diag = runner(ctx, init_z, keys)
+    warm_ok = (warm_state is not None
+               and warm_state.get("num_chains") == num_chains
+               and warm_state.get("ndim") == gp.ndim
+               and warm_state.get("dense_mass") == bool(dense_mass))
+    if warm_ok:
+        rewarm = max(32, int(warmup_steps) // 4)
+        runner = _nuts_runner(apply, rewarm, int(num_samples), int(thinning),
+                              bool(dense_mass), int(max_tree_depth), warm=True)
+        warm_tuple = (jnp.asarray(warm_state["step_size"]),
+                      jnp.asarray(warm_state["mass_inv"]),
+                      jnp.asarray(warm_state["mass_chol"]))
+        zs, logps, diag = runner(ctx, jnp.asarray(warm_state["last_z"]),
+                                 keys, warm_tuple)
+        accept = float(np.mean(np.asarray(diag["mean_accept"])))
+        div_rate = float(np.sum(np.asarray(diag["n_divergent"]))) / max(
+            1, num_chains * num_samples)
+        if accept < 0.6 or div_rate > 0.05:
+            log.debug(f"warm NUTS rejected (accept={accept:.2f}, "
+                      f"div={div_rate:.3f}); falling back to cold warmup")
+            warm_ok = False
+    if not warm_ok:
+        runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
+                              int(thinning), bool(dense_mass), int(max_tree_depth))
+        zs, logps, diag = runner(ctx, init_z, keys)
 
     xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
     # recover the untempered GP mean at the samples (the reference's 'logp'
@@ -297,7 +341,16 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     xs = np.asarray(xs)
     out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
            "method": "MCMC",
-           "diagnostics": {k: np.asarray(v) for k, v in diag.items()}}
+           "diagnostics": {k: np.asarray(v)
+                           for k, v in diag.items()
+                           if k in ("mean_accept", "n_divergent", "step_size")},
+           "warm_state": {
+               "step_size": np.asarray(diag["step_size"]),
+               "mass_inv": np.asarray(diag["mass_inv"]),
+               "mass_chol": np.asarray(diag["mass_chol"]),
+               "last_z": np.asarray(diag["last_z"]),
+               "num_chains": num_chains, "ndim": gp.ndim,
+               "dense_mass": bool(dense_mass)}}
     log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
               f"divergences={int(np.sum(out['diagnostics']['n_divergent']))}")
     return out

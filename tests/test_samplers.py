@@ -140,3 +140,29 @@ def test_plateau_volume_accounting_unbiased():
     f = toy.cut
     predicted_bias = -f - np.log(1 - f)
     assert lz2 - lz_true > 0.5 * predicted_bias
+
+
+def test_nuts_warm_start_reuses_kernel(gp_gaussian):
+    """Warm-started NUTS (fixed mass + short re-adaptation from the previous
+    adapted kernel) must sample the same posterior as a cold run."""
+    from bobe_tpu.samplers import sample_gp_nuts
+
+    cold = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(0),
+                          num_samples=512, warmup_steps=256)
+    ws = cold["warm_state"]
+    assert ws["mass_inv"].shape == (4, 2, 2) and ws["last_z"].shape == (4, 2)
+    warm = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(1),
+                          num_samples=512, warmup_steps=256, warm_state=ws)
+    assert warm["x"].shape == cold["x"].shape
+    assert float(np.mean(warm["diagnostics"]["mean_accept"])) > 0.6
+    # posterior is the 2-D Gaussian at 0.5 with sd 0.15: moments must agree
+    for out in (cold, warm):
+        m = out["x"].mean(axis=0)
+        s = out["x"].std(axis=0)
+        assert np.all(np.abs(m - 0.5) < 0.05), m
+        assert np.all(np.abs(s - 0.15) < 0.05), s
+    # mismatched shape metadata must fall back to the cold path, not crash
+    bad = dict(ws, num_chains=3)
+    res = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(2),
+                         num_samples=256, warmup_steps=128, warm_state=bad)
+    assert res["x"].shape[1] == 2
