@@ -157,3 +157,32 @@ def test_bobe_e2e_run_through_fake_cobaya(fake_cobaya, tmp_path, monkeypatch):
     # (1/V) * integral (L * V) dx = integral L dx = mass (~1)
     truth = float(np.log(mass))
     assert res["logz"]["mean"] == pytest.approx(truth, abs=0.5)
+
+
+def test_cosmology_example_yamls_are_valid():
+    """The shipped cosmology configs must parse as YAML with consistent
+    sampled-parameter blocks (prior + ref present, fixed params scalar),
+    mirroring the reference's example set (examples/cosmo_input/*.yaml)."""
+    import os
+
+    import yaml
+
+    base = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "cosmo_input")
+    expected_sampled = {
+        "LCDM_lite.yaml": 6,
+        "planck_desi_lcdm.yaml": 15,
+        "planck_desi_omk_lcdm.yaml": 16,
+        "planck_lite_bao_sn_cpl_omk.yaml": 9,
+    }
+    for fname, n_sampled in expected_sampled.items():
+        cfg = yaml.safe_load(open(os.path.join(base, fname)))
+        assert "likelihood" in cfg and "theory" in cfg and "params" in cfg
+        sampled = 0
+        for name, spec in cfg["params"].items():
+            if isinstance(spec, dict) and "prior" in spec:
+                sampled += 1
+                pr = spec["prior"]
+                assert ("min" in pr and "max" in pr) or pr.get("dist"), (fname, name)
+                assert "ref" in spec, (fname, name)
+        assert sampled == n_sampled, (fname, sampled)
