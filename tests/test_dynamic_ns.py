@@ -101,3 +101,33 @@ def test_dynamic_beats_static_at_equal_budget():
     assert np.mean(dyn_err) < 0.25, dyn_err
     # ... and more posterior effective samples per call
     assert np.mean(dyn_eff) > np.mean(sta_eff), (dyn_eff, sta_eff)
+
+
+def test_dynamic_ns_with_plateau_ledger():
+    """Dynamic NS over a classifier-gated surrogate: the restricted-support
+    ledger (logvol0) must carry through the base pass, the refinement batch,
+    and the varying-live-count merge (the do_final_ns + use_clf production
+    path)."""
+    from scipy.stats import norm
+
+    from tests.test_samplers import _GatedToy
+
+    toy = _GatedToy()
+    lz_true = toy.logz_true()
+    apply_fn = lambda ctx, x: toy.loglike(x)
+
+    # rejection-seed feasible live points, ledger at log feasible fraction
+    rng = np.random.default_rng(5)
+    pool = rng.uniform(size=(20000, toy.d))
+    logl = np.asarray(apply_fn(None, jnp.asarray(pool)))
+    ok = logl > toy.minus_inf
+    f_hat = ok.mean()
+    idx = rng.choice(np.sum(ok), size=250, replace=False)
+    res = run_nested_dynamic(apply_fn, None, toy.d, jax.random.PRNGKey(12),
+                             nlive=250, dlogz=0.01,
+                             live_x=pool[ok][idx], live_logl=logl[ok][idx],
+                             rng=rng, logvol0=float(np.log(f_hat)))
+    assert res.success
+    lz = float(logsumexp(integrals.logwt_from(res.dead_logl, res.logvol,
+                                              lv_start=res.logvol0)))
+    assert abs(lz - lz_true) < 0.2, (lz, lz_true)
