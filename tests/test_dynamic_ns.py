@@ -108,8 +108,6 @@ def test_dynamic_ns_with_plateau_ledger():
     ledger (logvol0) must carry through the base pass, the refinement batch,
     and the varying-live-count merge (the do_final_ns + use_clf production
     path)."""
-    from scipy.stats import norm
-
     from tests.test_samplers import _GatedToy
 
     toy = _GatedToy()
