@@ -48,6 +48,20 @@ PAD_MULTIPLE = 128
 SAFE_NOISE_FLOOR = 1e-12
 
 
+def fit_polish_max_cap() -> int:
+    """Largest padded GP capacity at which the f64 hyperparameter polish
+    runs after an f32 fit (models/gp._polish_core). f64 Cholesky is XLA-
+    emulated on TPU (~10 ms at cap 512, ~70 ms at 1024); the default keeps
+    the polish on cosmology-scale sets and off large toy benches. Override
+    with BOBE_TPU_POLISH_MAX_CAP (0 disables)."""
+    return int(os.environ.get("BOBE_TPU_POLISH_MAX_CAP", 768))
+
+
+def fit_polish_iters() -> int:
+    """L-BFGS iterations for the f64 polish (BOBE_TPU_POLISH_ITERS)."""
+    return int(os.environ.get("BOBE_TPU_POLISH_ITERS", 10))
+
+
 def set_compute_dtype(dtype) -> None:
     """Set the dtype used for device-side GP/sampler math ('float32'|'float64')."""
     global _COMPUTE_DTYPE

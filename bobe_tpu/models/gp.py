@@ -385,6 +385,37 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=64)
+def _polish_core(cfg: GPTrainConfig, d: int, maxiter: int):
+    """f64 hyperparameter POLISH from the f32-selected point.
+
+    The f32 fit objective carries an N-scaled relative jitter floor
+    (neg_mll above) that acts like percent-level observation noise — fine
+    for coarse selection, but in hard regimes (curved cosmology-like
+    posteriors) the floor over-smooths the selected lengthscales and the
+    refreshed exact-f64 GP becomes confidently wrong BETWEEN training
+    points (measured +0.18 logZ bias on the planck-like toy, BENCH_NOTES).
+    A short single-restart f64 L-BFGS descent from the f32 argmax (no
+    floor; f64 Cholesky per evaluation) restores selection accuracy at
+    ~10 ms/eval for caps <= 768 — engaged only there (config
+    fit_polish_max_cap), so large-cap toy fits keep the pure-f32 speed.
+    """
+    bounds = hyperparam_bounds_log(cfg, d)
+
+    def run(state, best_log):
+        cap = state.x.shape[0]
+        dsq = None
+        if d * cap * cap * 8 <= 256 * 1024**2:
+            dsq = jax.lax.optimization_barrier(kr.sq_dist_perdim(state.x))
+        obj = lambda lp: neg_mll(state, cfg, lp, dsq_perdim=dsq)
+        best, best_f = opt_ops.minimize_restarts(
+            obj, best_log[None, :], bounds=bounds, method="lbfgs",
+            maxiter=maxiter)
+        return set_hyperparams(state, cfg, best), best, best_f
+
+    return jax.jit(run)
+
+
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         n_restarts: int = 4, rng=None, optimizer: str = "lbfgs"):
     """Optimize hyperparameters from multi-restart x0 (log space).
@@ -419,9 +450,14 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         new_state = set_hyperparams(state, cfg, best)
         return new_state, {"mll": float(-best_f), "params": np.asarray(best)}
 
-    run = _fit_core(cfg, d, int(maxiter), optimizer,
-                    fit_dtype=jnp.dtype(config.compute_dtype()).name)
+    fit_dtype = jnp.dtype(config.compute_dtype()).name
+    run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
     new_state, best_log, best_f = run(state, x0)
+    if (fit_dtype == "float32" and optimizer == "lbfgs"
+            and state.x.shape[0] <= config.fit_polish_max_cap()
+            and config.fit_polish_iters() > 0):
+        pol = _polish_core(cfg, d, int(config.fit_polish_iters()))
+        new_state, best_log, best_f = pol(state, best_log)
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 
 

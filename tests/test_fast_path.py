@@ -78,3 +78,33 @@ def test_default_sweep_is_f64_in_acquisition(gp_noisy, monkeypatch):
         gp_noisy, acq_kwargs={"mc_samples": mc, "mc_points_size": 16},
         maxiter=10, rng=rng)
     assert requested and all(dt == "float64" for dt in requested)
+
+
+def test_f64_polish_improves_selection(monkeypatch):
+    """After an f32 fit (jitter-floored objective), the f64 polish must run
+    at caps <= fit_polish_max_cap and yield hyperparameters at least as good
+    under the TRUE (floorless f64) marginal likelihood."""
+    from bobe_tpu import config
+
+    rng = np.random.default_rng(1)
+    # low-noise curved data: the regime where the f32 floor distorts selection
+    x = rng.uniform(size=(96, 2))
+    y = -0.5 * np.sum(((x - 0.5) / np.array([0.05, 0.3])) ** 2, axis=1)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    x0 = None
+
+    monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float32)
+    # f32-only (polish off)
+    monkeypatch.setenv("BOBE_TPU_POLISH_MAX_CAP", "0")
+    st_raw, info_raw = gpm.fit(gp.state, gp.cfg, maxiter=60, n_restarts=4,
+                               rng=np.random.default_rng(2))
+    # f32 + f64 polish
+    monkeypatch.setenv("BOBE_TPU_POLISH_MAX_CAP", "768")
+    st_pol, info_pol = gpm.fit(gp.state, gp.cfg, maxiter=60, n_restarts=4,
+                               rng=np.random.default_rng(2))
+
+    f64_nll = lambda lp: float(gpm.neg_mll(gp.state, gp.cfg, jnp.asarray(lp)))
+    raw = f64_nll(info_raw["params"])
+    pol = f64_nll(info_pol["params"])
+    assert pol <= raw + 1e-6, (pol, raw)
+    assert np.all(np.isfinite(np.asarray(st_pol.chol)))
