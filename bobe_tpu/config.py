@@ -48,12 +48,27 @@ PAD_MULTIPLE = 128
 SAFE_NOISE_FLOOR = 1e-12
 
 
+def fit_f64_max_cap() -> int:
+    """Largest padded GP capacity at which the hyperparameter FIT runs in
+    float64 even when the compute dtype is float32 (TPU). Measured on the
+    planck-like parity problem (BENCH_NOTES round 2): the f32 objective's
+    jitter floor over-smooths selection in curved low-noise regimes —
+    TPU runs read |dlogZ| 0.184 (raw f32) / 0.102 (f32 + f64 polish) /
+    0.001 (f64 fits), and the f64-fit run also converged in the FEWEST
+    evaluations (216 vs 356/484), making it the best wall-clock-to-accuracy
+    default despite ~10 ms/eval emulated-f64 Choleskys at these caps.
+    Above the threshold (big toy/bench sets, f32 parity verified there)
+    fits stay f32. Override with BOBE_TPU_F64_FIT_MAX_CAP (0 disables)."""
+    return int(os.environ.get("BOBE_TPU_F64_FIT_MAX_CAP", 768))
+
+
 def fit_polish_max_cap() -> int:
     """Largest padded GP capacity at which the f64 hyperparameter polish
-    runs after an f32 fit (models/gp._polish_core). f64 Cholesky is XLA-
-    emulated on TPU (~10 ms at cap 512, ~70 ms at 1024); the default keeps
-    the polish on cosmology-scale sets and off large toy benches. Override
-    with BOBE_TPU_POLISH_MAX_CAP (0 disables)."""
+    runs after an f32 fit (models/gp._polish_core). With the default
+    fit_f64_max_cap covering the same range, the polish is a fallback for
+    tuned setups that disable small-cap f64 fits (it recovers about half
+    the accuracy gap at ~1/4 the f64 cost — measured 0.102 vs 0.184/0.001,
+    BENCH_NOTES). Override with BOBE_TPU_POLISH_MAX_CAP (0 disables)."""
     return int(os.environ.get("BOBE_TPU_POLISH_MAX_CAP", 768))
 
 

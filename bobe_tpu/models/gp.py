@@ -451,6 +451,13 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         return new_state, {"mll": float(-best_f), "params": np.asarray(best)}
 
     fit_dtype = jnp.dtype(config.compute_dtype()).name
+    if fit_dtype == "float32" and state.x.shape[0] <= config.fit_f64_max_cap():
+        # small-cap f64 fits: the f32 objective's jitter floor over-smooths
+        # selection in curved low-noise regimes, and the resulting surrogate
+        # needs MORE true evaluations to converge — measured net-better wall
+        # clock AND |dlogZ| on the planck-like parity run (config.py,
+        # BENCH_NOTES round 2)
+        fit_dtype = "float64"
     run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
     new_state, best_log, best_f = run(state, x0)
     if (fit_dtype == "float32" and optimizer == "lbfgs"

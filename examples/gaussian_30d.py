@@ -20,8 +20,12 @@ def main():
     )
     results = bobe.run(
         acq="wipstd", min_evals=300, max_evals=1500, max_gp_size=1200,
-        logz_threshold=5e-2, fit_n_points=16, batch_size=8, ns_n_points=24,
+        logz_threshold=1e-1, fit_n_points=16, batch_size=8, ns_n_points=24,
         convergence_n_iters=2, mc_points_size=128,
+        # in d=30 the acquisition can stay above the NS gate until the GP
+        # budget is exhausted — always finish with a (dynamic) NS so the run
+        # reports an evidence estimate either way
+        do_final_ns=True,
     )
     if results is None:
         return

@@ -94,6 +94,8 @@ def test_f64_polish_improves_selection(monkeypatch):
     x0 = None
 
     monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float32)
+    # force the pure-f32 path (the default would fit small caps in f64)
+    monkeypatch.setenv("BOBE_TPU_F64_FIT_MAX_CAP", "0")
     # f32-only (polish off)
     monkeypatch.setenv("BOBE_TPU_POLISH_MAX_CAP", "0")
     st_raw, info_raw = gpm.fit(gp.state, gp.cfg, maxiter=60, n_restarts=4,
@@ -108,3 +110,24 @@ def test_f64_polish_improves_selection(monkeypatch):
     pol = f64_nll(info_pol["params"])
     assert pol <= raw + 1e-6, (pol, raw)
     assert np.all(np.isfinite(np.asarray(st_pol.chol)))
+
+
+def test_small_cap_fit_defaults_to_f64(monkeypatch):
+    """With a float32 compute dtype, fits at caps <= fit_f64_max_cap must run
+    the f64 objective (no jitter floor): selected hyperparameters match a
+    forced-f64 fit exactly."""
+    from bobe_tpu import config
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(80, 2))
+    y = -0.5 * np.sum(((x - 0.5) / 0.1) ** 2, axis=1)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+
+    monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float32)
+    _, info_default = gpm.fit(gp.state, gp.cfg, maxiter=40, n_restarts=2,
+                              rng=np.random.default_rng(4))
+    monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float64)
+    _, info_f64 = gpm.fit(gp.state, gp.cfg, maxiter=40, n_restarts=2,
+                          rng=np.random.default_rng(4))
+    np.testing.assert_allclose(info_default["params"], info_f64["params"],
+                               rtol=1e-12)
