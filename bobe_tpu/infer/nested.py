@@ -375,6 +375,28 @@ def merge_runs(runs, logvol0: float = 0.0):
     return xs, logls, logvol
 
 
+def _batch_seed_probs(logvol, above, logvol0: float) -> np.ndarray:
+    """Volume-shell weights for seeding a dynamic refinement batch from the
+    base run's above-bound dead points.
+
+    The first above-bound point's shell starts at the CROSSING volume — the
+    ledger value of the last excluded (below-bound) death, `min` over the
+    decreasing excluded prefix — falling back to the run's initial volume
+    ``logvol0`` when nothing is excluded. (A previous version used
+    ``np.max(logvol[~above], initial=0.0)``, which always returned the
+    initial since every ledger entry is negative: the boundary point's shell
+    then swallowed the whole prior volume and ~all batch seeds were copies
+    of that single point, leaving batch independence entirely to the
+    decorrelation pass.)
+    """
+    lv = logvol[above]
+    crossing = float(np.min(logvol[~above], initial=logvol0))
+    lv_prev = np.concatenate([[crossing], lv[:-1]])
+    dvol = np.exp(lv_prev) - np.exp(lv)
+    dvol = np.clip(dvol, 1e-300, None)
+    return dvol / dvol.sum()
+
+
 def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
                        dlogz: float = 0.01, maxcall: int = int(5e6),
                        batch_frac: float = 1.0, wt_threshold: float = 0.01,
@@ -415,14 +437,7 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     above = base.dead_logl > l_lo
     if above.sum() < 2:
         return base
-    lv = base.logvol[above]
-    lv_prev = np.concatenate([[base.logvol0 if l_lo == -np.inf else
-                               float(np.max(base.logvol[~above],
-                                            initial=base.logvol0))],
-                              lv[:-1]])
-    dvol = np.exp(lv_prev) - np.exp(lv)
-    dvol = np.clip(dvol, 1e-300, None)
-    p = dvol / dvol.sum()
+    p = _batch_seed_probs(base.logvol, above, base.logvol0)
     pick = rng.choice(np.sum(above), size=nlive_batch, replace=True, p=p)
     bx = jnp.asarray(base.dead_x[above][pick])
     bl = jnp.asarray(base.dead_logl[above][pick])

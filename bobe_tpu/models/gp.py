@@ -385,37 +385,6 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
     return jax.jit(run)
 
 
-@lru_cache(maxsize=64)
-def _polish_core(cfg: GPTrainConfig, d: int, maxiter: int):
-    """f64 hyperparameter POLISH from the f32-selected point.
-
-    The f32 fit objective carries an N-scaled relative jitter floor
-    (neg_mll above) that acts like percent-level observation noise — fine
-    for coarse selection, but in hard regimes (curved cosmology-like
-    posteriors) the floor over-smooths the selected lengthscales and the
-    refreshed exact-f64 GP becomes confidently wrong BETWEEN training
-    points (measured +0.18 logZ bias on the planck-like toy, BENCH_NOTES).
-    A short single-restart f64 L-BFGS descent from the f32 argmax (no
-    floor; f64 Cholesky per evaluation) restores selection accuracy at
-    ~10 ms/eval for caps <= 768 — engaged only there (config
-    fit_polish_max_cap), so large-cap toy fits keep the pure-f32 speed.
-    """
-    bounds = hyperparam_bounds_log(cfg, d)
-
-    def run(state, best_log):
-        cap = state.x.shape[0]
-        dsq = None
-        if d * cap * cap * 8 <= 256 * 1024**2:
-            dsq = jax.lax.optimization_barrier(kr.sq_dist_perdim(state.x))
-        obj = lambda lp: neg_mll(state, cfg, lp, dsq_perdim=dsq)
-        best, best_f = opt_ops.minimize_restarts(
-            obj, best_log[None, :], bounds=bounds, method="lbfgs",
-            maxiter=maxiter)
-        return set_hyperparams(state, cfg, best), best, best_f
-
-    return jax.jit(run)
-
-
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         n_restarts: int = 4, rng=None, optimizer: str = "lbfgs"):
     """Optimize hyperparameters from multi-restart x0 (log space).
@@ -463,8 +432,15 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
     if (fit_dtype == "float32" and optimizer == "lbfgs"
             and state.x.shape[0] <= config.fit_polish_max_cap()
             and config.fit_polish_iters() > 0):
-        pol = _polish_core(cfg, d, int(config.fit_polish_iters()))
-        new_state, best_log, best_f = pol(state, best_log)
+        # f64 POLISH: a short single-restart f64 descent from the f32 argmax
+        # (no jitter floor) — the f32 objective's floor acts like percent-
+        # level noise and over-smooths selection in curved low-noise regimes
+        # (measured +0.18 logZ bias on the planck-like toy, BENCH_NOTES).
+        # Reuses _fit_core with a single-row x0 so the polish can never
+        # drift from the main fit pipeline.
+        pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
+                        fit_dtype="float64")
+        new_state, best_log, best_f = pol(state, best_log[None, :])
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 
 

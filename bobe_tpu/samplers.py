@@ -113,12 +113,13 @@ def _seed_live_points(gp, loglike, nlive, ndim, rng):
         if n_feas >= nlive:
             break
     fx, fl = np.concatenate(feas_x), np.concatenate(feas_l)
-    if n_feas >= nlive and not np.all(fl[:nlive] == fl[0]):
+    if n_feas >= nlive:
         idx = rng.choice(n_feas, size=nlive, replace=False)
-        f_hat = n_feas / n_drawn
-        # binomial delta-method error of log(f_hat)
-        var_logvol0 = (1.0 - f_hat) / (n_drawn * f_hat)
-        return fx[idx], fl[idx], float(np.log(f_hat)), float(var_logvol0)
+        if not np.all(fl[idx] == fl[idx][0]):  # the RETURNED subset varies
+            f_hat = n_feas / n_drawn
+            # binomial delta-method error of log(f_hat)
+            var_logvol0 = (1.0 - f_hat) / (n_drawn * f_hat)
+            return fx[idx], fl[idx], float(np.log(f_hat)), float(var_logvol0)
     # fall back (essentially no feasible volume found by uniform proposals):
     # reference-style mixed live set, one forced-valid point, no volume shift
     log.warning(
@@ -296,18 +297,32 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
         apply = _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp))
         ctx = gp.state
 
-    # chain inits: random points + the incumbent (reference samplers.py:296-300)
-    inits = [gp.get_random_point(rng=np_rng) for _ in range(max(0, num_chains - 1))]
-    best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
-    inits.append(best_x)
-    inits = np.clip(np.asarray(inits[:num_chains]), 1e-6, 1 - 1e-6)
-    init_z = jnp.asarray(np.log(inits) - np.log1p(-inits))
+    def _cold_init_z():
+        # chain inits: random points + the incumbent (reference
+        # samplers.py:296-300); built lazily — unused on the warm path
+        inits = [gp.get_random_point(rng=np_rng)
+                 for _ in range(max(0, num_chains - 1))]
+        best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
+        inits.append(best_x)
+        inits = np.clip(np.asarray(inits[:num_chains]), 1e-6, 1 - 1e-6)
+        return jnp.asarray(np.log(inits) - np.log1p(-inits))
 
     keys = jax.random.split(key, num_chains)
     warm_ok = (warm_state is not None
                and warm_state.get("num_chains") == num_chains
                and warm_state.get("ndim") == gp.ndim
                and warm_state.get("dense_mass") == bool(dense_mass))
+    if warm_ok and clf is not None:
+        # the classifier retrains between iterations and can reclassify a
+        # cached chain end as infeasible; on the minus_inf plateau the
+        # gradient is zero and every proposal has equal logp, so the
+        # acceptance guard below CANNOT catch it — check the starts directly
+        start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
+            jnp.asarray(warm_state["last_z"])))
+        if not np.all(start_lp > 0.5 * float(gp.minus_inf)):
+            log.debug("warm NUTS rejected: a cached chain end now falls in "
+                      "the classifier's infeasible region")
+            warm_ok = False
     if warm_ok:
         rewarm = max(32, int(warmup_steps) // 4)
         runner = _nuts_runner(apply, rewarm, int(num_samples), int(thinning),
@@ -327,7 +342,7 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     if not warm_ok:
         runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
                               int(thinning), bool(dense_mass), int(max_tree_depth))
-        zs, logps, diag = runner(ctx, init_z, keys)
+        zs, logps, diag = runner(ctx, _cold_init_z(), keys)
 
     xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
     # recover the untempered GP mean at the samples (the reference's 'logp'

@@ -129,3 +129,26 @@ def test_dynamic_ns_with_plateau_ledger():
     lz = float(logsumexp(integrals.logwt_from(res.dead_logl, res.logvol,
                                               lv_start=res.logvol0)))
     assert abs(lz - lz_true) < 0.2, (lz, lz_true)
+
+
+def test_batch_seed_probs_use_crossing_volume():
+    """Refinement-batch seed weights must start the first above-bound shell
+    at the CROSSING volume, not the full prior (regression: np.max with an
+    `initial` above every negative ledger entry concentrated ~all seed mass
+    on the single boundary point)."""
+    from bobe_tpu.infer.nested import _batch_seed_probs
+
+    nlive = 100
+    logvol = -np.arange(1, 1001) / nlive  # standard ledger, logvol0 = 0
+    above = np.arange(1000) >= 700
+    p = _batch_seed_probs(logvol, above, 0.0)
+    assert p.shape == (300,)
+    # shells shrink geometrically: the boundary point's weight should be
+    # ~1/nlive of the local volume, nowhere near unity
+    assert p[0] < 0.05, p[0]
+    # weights decrease (volume shells shrink) and normalize
+    assert np.all(np.diff(p) < 0)
+    assert np.isclose(p.sum(), 1.0)
+    # nothing excluded: crossing falls back to logvol0
+    p_all = _batch_seed_probs(logvol, np.ones(1000, bool), 0.0)
+    assert np.isclose(p_all.sum(), 1.0) and p_all[0] < 0.05

@@ -166,3 +166,27 @@ def test_nuts_warm_start_reuses_kernel(gp_gaussian):
     res = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(2),
                          num_samples=256, warmup_steps=128, warm_state=bad)
     assert res["x"].shape[1] == 2
+
+
+def test_nuts_warm_start_takes_warm_path(gp_gaussian, monkeypatch):
+    """Pin that a valid warm_state actually takes the warm (fixed-mass)
+    runner — a guard regression that silently always falls back to cold
+    would otherwise be invisible to the behavioral test above."""
+    import bobe_tpu.samplers as samplers_mod
+
+    calls = []
+    orig = samplers_mod._nuts_runner
+
+    def spy(apply, warmup, num_samples, thinning, dense, depth, warm=False):
+        calls.append(bool(warm))
+        return orig(apply, warmup, num_samples, thinning, dense, depth, warm)
+
+    monkeypatch.setattr(samplers_mod, "_nuts_runner", spy)
+    cold = samplers_mod.sample_gp_nuts(
+        gp_gaussian, np_rng=np.random.default_rng(5),
+        num_samples=128, warmup_steps=64)
+    warm = samplers_mod.sample_gp_nuts(
+        gp_gaussian, np_rng=np.random.default_rng(6),
+        num_samples=128, warmup_steps=64, warm_state=cold["warm_state"])
+    assert calls == [False, True], calls
+    assert warm["x"].shape == cold["x"].shape
