@@ -64,17 +64,20 @@ def fit_f64_max_cap() -> int:
 
 def fit_polish_max_cap() -> int:
     """Largest padded GP capacity at which the f64 hyperparameter polish
-    runs after an f32 fit (models/gp._polish_core). With the default
-    fit_f64_max_cap covering the same range, the polish is a fallback for
-    tuned setups that disable small-cap f64 fits (it recovers about half
-    the accuracy gap at ~1/4 the f64 cost — measured 0.102 vs 0.184/0.001,
-    BENCH_NOTES). Override with BOBE_TPU_POLISH_MAX_CAP (0 disables)."""
+    runs after an f32 fit. With the default fit_f64_max_cap covering the
+    same range, the polish is the quality fallback for setups that disable
+    small-cap f64 fits for speed: measured on the planck-like parity
+    problem, |dlogZ| = 0.030 at 40 polish iterations vs 0.184 raw f32 and
+    0.001 full f64 (BENCH_NOTES). Override with BOBE_TPU_POLISH_MAX_CAP
+    (0 disables)."""
     return int(os.environ.get("BOBE_TPU_POLISH_MAX_CAP", 768))
 
 
 def fit_polish_iters() -> int:
-    """L-BFGS iterations for the f64 polish (BOBE_TPU_POLISH_ITERS)."""
-    return int(os.environ.get("BOBE_TPU_POLISH_ITERS", 10))
+    """L-BFGS iterations for the f64 polish (BOBE_TPU_POLISH_ITERS).
+    40 is the measured sweet spot (see fit_polish_max_cap): ~1/5 the cost
+    of a full f64 fit for most of its accuracy."""
+    return int(os.environ.get("BOBE_TPU_POLISH_ITERS", 40))
 
 
 def set_compute_dtype(dtype) -> None:
