@@ -4,6 +4,13 @@ TPU-native counterpart of the reference quickstart (examples/Banana.py).
 Runs the WIPStd evidence loop on the GP surrogate and prints logZ with
 GP-uncertainty bounds plus the phase timing breakdown.
 """
+import os
+
+# cheap analytic toy: wall-clock matters more than true-evaluation count, so
+# select the fast f32+polish fit path on TPU (docs/detailed_usage.md,
+# "Precision policy"; the cosmology-regime default is exact f64 fits)
+os.environ.setdefault("BOBE_TPU_F64_FIT_MAX_CAP", "0")
+
 import time
 
 import numpy as np

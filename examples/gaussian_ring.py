@@ -1,5 +1,12 @@
 """Ring-shaped degeneracy; stresses the GP with a large training set
 (Cholesky growth to hundreds of points) and the classifier path."""
+import os
+
+# cheap analytic toy: wall-clock matters more than true-evaluation count, so
+# select the fast f32+polish fit path on TPU (docs/detailed_usage.md,
+# "Precision policy"; the cosmology-regime default is exact f64 fits)
+os.environ.setdefault("BOBE_TPU_F64_FIT_MAX_CAP", "0")
+
 from bobe_tpu import BOBE
 from bobe_tpu.models import toys
 

@@ -2,6 +2,13 @@
 
 Expected logZ ~ -3.2 on [-5, 5]^2 (reference docs detailed_usage.rst:197).
 """
+import os
+
+# cheap analytic toy: wall-clock matters more than true-evaluation count, so
+# select the fast f32+polish fit path on TPU (docs/detailed_usage.md,
+# "Precision policy"; the cosmology-regime default is exact f64 fits)
+os.environ.setdefault("BOBE_TPU_F64_FIT_MAX_CAP", "0")
+
 import time
 
 from bobe_tpu import BOBE
