@@ -45,6 +45,15 @@ from .utils.seed import get_numpy_rng
 
 log = get_logger("acq")
 
+# The WIP sweep stays float64 by default even on TPU: its cost is a single
+# tri-solve + matmul (negligible), while the fantasy-variance cancellation
+# var - cov^2/var loses all relative accuracy in f32 once the GP starts
+# interpolating (posterior variances ~1e-6). Read once at import — this sits
+# on the acquisition hot path.
+import os as _os
+
+SWEEP_DTYPE = _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64")
+
 
 # ======================================================================
 # jitted cores (cached per static signature)
@@ -271,10 +280,7 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         mc_points_size = int(acq_kwargs.get("mc_points_size", 128))
         mc_points = jnp.asarray(get_mc_points(
             mc_samples, mc_points_size=mc_points_size, rng=rng))
-        import os as _os
-
-        core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch),
-                               _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64"))
+        core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch), SWEEP_DTYPE)
         pts, vals = core(gp.state, mc_points)
         return np.asarray(pts), np.asarray(vals)
 
@@ -293,15 +299,7 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size, rng=rng)
         mc_points = jnp.asarray(mc_points)
 
-        # The sweep stays float64 by default even on TPU: its cost is a single
-        # tri-solve + matmul (negligible), while the fantasy-variance
-        # cancellation var - cov^2/var loses all relative accuracy in f32 once
-        # the GP starts interpolating (posterior variances ~1e-6). Override
-        # with BOBE_TPU_SWEEP_DTYPE for experiments.
-        import os as _os
-
-        sweep = _wip_sweep_core(gp.cfg, self._use_std,
-                                _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64"))
+        sweep = _wip_sweep_core(gp.cfg, self._use_std, SWEEP_DTYPE)
         acq_vals, V, var = sweep(gp.state, mc_points)
         i_best = int(jnp.argmin(acq_vals))
         acq_min = float(acq_vals[i_best])

@@ -58,7 +58,13 @@ def fit_f64_max_cap() -> int:
     evaluations (216 vs 356/484), making it the best wall-clock-to-accuracy
     default despite ~10 ms/eval emulated-f64 Choleskys at these caps.
     Above the threshold (big toy/bench sets, f32 parity verified there)
-    fits stay f32. Override with BOBE_TPU_F64_FIT_MAX_CAP (0 disables)."""
+    fits stay f32. Override with BOBE_TPU_F64_FIT_MAX_CAP (0 disables).
+
+    NOTE: this default DELIBERATELY equals fit_polish_max_cap() — any cap
+    small enough to polish already runs a full f64 fit, so the polish branch
+    only engages when BOBE_TPU_F64_FIT_MAX_CAP is lowered below the polish
+    cap (tests/test_fast_path.py pins that engagement). Keep the two in sync
+    when changing either default."""
     return int(os.environ.get("BOBE_TPU_F64_FIT_MAX_CAP", 768))
 
 

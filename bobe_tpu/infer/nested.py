@@ -353,7 +353,9 @@ def merge_runs(runs, logvol0: float = 0.0):
     logvol_i = sum_{k<=i} log(n_k / (n_k + 1)) — dynesty's merge schedule,
     generalized to batch-kill runs.
 
-    Returns (x, logl, logvol) sorted by ascending likelihood.
+    Returns (x, logl, logvol, n_at_death) sorted by ascending likelihood;
+    ``n_at_death`` is the merged run's own live-count schedule, so a merged
+    result can itself be merged again.
     """
     xs = np.concatenate([r[0] for r in runs], axis=0)
     logls = np.concatenate([r[1] for r in runs], axis=0)
@@ -372,7 +374,7 @@ def merge_runs(runs, logvol0: float = 0.0):
     n_at_death = np.maximum(n_at_death, 1.0)
 
     logvol = logvol0 + np.cumsum(np.log(n_at_death / (n_at_death + 1.0)))
-    return xs, logls, logvol
+    return xs, logls, logvol, n_at_death
 
 
 def _batch_seed_probs(logvol, above, logvol0: float) -> np.ndarray:
@@ -453,16 +455,13 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
                        dlogz=dlogz, maxcall=maxcall, live_x=bx, live_logl=bl,
                        rng=rng, **ns_kwargs)
 
-    xs, logls, logvol = merge_runs([
+    xs, logls, logvol, sched = merge_runs([
         (base.dead_x, base.dead_logl, base.nlive_schedule, -np.inf),
         (batch.dead_x, batch.dead_logl, batch.nlive_schedule, l_lo),
     ], logvol0=logvol0)
     logwt_m = integrals.logwt_from(logls, logvol, lv_start=logvol0)
     from scipy.special import logsumexp
     logz = float(logsumexp(logwt_m))
-    # merged schedule: re-derive alive counts at each merged death (needed
-    # only if this result is merged again; reconstruct from the same rule)
-    sched = None
     return NSResult(xs, logls, logvol, logz,
                     base.n_calls + batch.n_calls + int(dec_calls),
                     base.n_iter + batch.n_iter,

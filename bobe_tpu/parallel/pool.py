@@ -239,7 +239,6 @@ class DistributedPool(EvalPool):
             pts = points  # workers receive the broadcast inside worker_loop
         local = self._eval_shard(likelihood, pts)
         allv = self._allgather_rows(local)  # (size, n)
-        out = np.nanmax(np.where(np.isnan(allv), -np.inf, allv), axis=0)
         # nan-free combine: each column has exactly one non-nan entry
         cols = ~np.isnan(allv)
         out = allv[np.argmax(cols, axis=0), np.arange(allv.shape[1])]

@@ -189,8 +189,13 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     h, logzerr = integrals.information_and_err(res.dead_logl, res.logvol,
                                                logz_dict["mean"], res.nlive,
                                                lv_start=res.logvol0)
-    # the feasible-fraction estimate carries its own (binomial) uncertainty
+    # the feasible-fraction estimate carries its own (binomial) uncertainty;
+    # widen upper/lower too so the (upper-lower)/2 convergence delta sees it
+    # (it is ~1e-2 at typical draw counts, but must not be silently dropped)
+    sig0 = float(np.sqrt(var_logvol0))
     logz_dict["var"] += var_logvol0
+    logz_dict["upper"] += sig0
+    logz_dict["lower"] -= sig0
     logz_dict["std"] = float(2.0 * np.sqrt(logz_dict["var"]))
     logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
@@ -311,7 +316,11 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     warm_ok = (warm_state is not None
                and warm_state.get("num_chains") == num_chains
                and warm_state.get("ndim") == gp.ndim
-               and warm_state.get("dense_mass") == bool(dense_mass))
+               and warm_state.get("dense_mass") == bool(dense_mass)
+               # a kernel adapted to a differently-tempered target would pass
+               # the acceptance guard on a smooth temperature change while
+               # carrying residual burn-in bias — require an exact match
+               and warm_state.get("temp") == float(temp))
     if warm_ok and clf is not None:
         # the classifier retrains between iterations and can reclassify a
         # cached chain end as infeasible; on the minus_inf plateau the
@@ -365,7 +374,7 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                "mass_chol": np.asarray(diag["mass_chol"]),
                "last_z": np.asarray(diag["last_z"]),
                "num_chains": num_chains, "ndim": gp.ndim,
-               "dense_mass": bool(dense_mass)}}
+               "dense_mass": bool(dense_mass), "temp": float(temp)}}
     log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
               f"divergences={int(np.sum(out['diagnostics']['n_divergent']))}")
     return out

@@ -32,7 +32,7 @@ def _logz(res):
 def test_single_run_merge_reproduces_own_schedule():
     res = run_nested(apply_fn, None, D, jax.random.PRNGKey(0), nlive=150,
                      dlogz=0.05, rng=np.random.default_rng(0))
-    xs, ls, lv = merge_runs([(res.dead_x, res.dead_logl,
+    xs, ls, lv, _ = merge_runs([(res.dead_x, res.dead_logl,
                               res.nlive_schedule, -np.inf)])
     own = np.sort(res.logvol)[::-1]
     # volumes agree up to the log(n/(n+1)) vs -1/n convention (O(1/n) drift)
@@ -50,7 +50,7 @@ def test_merge_two_full_runs_stays_calibrated():
                     dlogz=0.05, rng=np.random.default_rng(1))
     r2 = run_nested(apply_fn, None, D, jax.random.PRNGKey(11), nlive=150,
                     dlogz=0.05, rng=np.random.default_rng(2))
-    xs, ls, lv = merge_runs([
+    xs, ls, lv, _ = merge_runs([
         (r1.dead_x, r1.dead_logl, r1.nlive_schedule, -np.inf),
         (r2.dead_x, r2.dead_logl, r2.nlive_schedule, -np.inf)])
     lz = float(logsumexp(integrals.logwt_from(ls, lv)))
