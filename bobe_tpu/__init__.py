@@ -27,7 +27,7 @@ from .likelihood import CobayaLikelihood, Likelihood  # noqa: E402,F401
 from .models.classifiers import CLASSIFIER_REGISTRY  # noqa: E402,F401
 from .models.clf_gp import GPwithClassifier  # noqa: E402,F401
 from .models.gp import GP, GPState, GPTrainConfig  # noqa: E402,F401
-from .samplers import nested_sampling, sample_gp_nuts  # noqa: E402,F401
+from .samplers import nested_sampling, sample_gp_ensemble, sample_gp_nuts  # noqa: E402,F401
 from .utils.results import BOBEResults  # noqa: E402,F401
 
 __version__ = "0.3.0"
@@ -49,6 +49,7 @@ __all__ = [
     "CLASSIFIER_REGISTRY",
     "nested_sampling",
     "sample_gp_nuts",
+    "sample_gp_ensemble",
     "get_mc_samples",
     "get_mc_points",
     "load_gp_file",

@@ -84,17 +84,24 @@ def _ei_objective_core(cfg: gpm.GPTrainConfig, use_log: bool, maxiter: int):
 
 @lru_cache(maxsize=32)
 def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool,
-                    sweep_dtype: str = "float64"):
+                    sweep_dtype: str = "float64", mesh=None):
     """Jitted full-pool WIP sweep. Returns (acq_vals, V, var).
 
     sweep_dtype='float32' runs the whole sweep on the MXU in f32 — the argmin
-    over candidates is insensitive to that precision."""
+    over candidates is insensitive to that precision. With a ``mesh`` the
+    candidate axis is sharded over the devices (GP state replicated; GSPMD
+    inserts the gathers)."""
     sdt = jnp.dtype(sweep_dtype)
 
     def run(state, mc_points):
         if sdt != state.x.dtype:
             state = gpm._cast_state(state, sdt)
             mc_points = mc_points.astype(sdt)
+        if mesh is not None:
+            from .parallel.mesh import batch_sharded
+
+            mc_points = jax.lax.with_sharding_constraint(
+                mc_points, batch_sharded(mesh))
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
         V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
                                  mc_points, ls, amp, cfg.noise)
@@ -107,7 +114,7 @@ def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool,
 
 @lru_cache(maxsize=32)
 def _wip_batch_core(cfg: gpm.GPTrainConfig, use_std: bool, n_batch: int,
-                    sweep_dtype: str = "float64"):
+                    sweep_dtype: str = "float64", mesh=None):
     """Jitted fused greedy batch: posterior solve + n_batch rank-1 downdate
     selections in ONE dispatch (ops/fantasy.wip_greedy_batch)."""
     sdt = jnp.dtype(sweep_dtype)
@@ -116,6 +123,11 @@ def _wip_batch_core(cfg: gpm.GPTrainConfig, use_std: bool, n_batch: int,
         if sdt != state.x.dtype:
             state = gpm._cast_state(state, sdt)
             mc_points = mc_points.astype(sdt)
+        if mesh is not None:
+            from .parallel.mesh import batch_sharded
+
+            mc_points = jax.lax.with_sharding_constraint(
+                mc_points, batch_sharded(mesh))
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
         V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
                                  mc_points, ls, amp, cfg.noise)
@@ -279,8 +291,11 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         mc_samples = acq_kwargs.get("mc_samples")
         mc_points_size = int(acq_kwargs.get("mc_points_size", 128))
         mc_points = jnp.asarray(get_mc_points(
-            mc_samples, mc_points_size=mc_points_size, rng=rng))
-        core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch), SWEEP_DTYPE)
+            mc_samples, mc_points_size=mc_points_size, rng=rng, gp=gp))
+        from .parallel.mesh import production_mesh
+
+        core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch),
+                               SWEEP_DTYPE, production_mesh())
         pts, vals = core(gp.state, mc_points)
         return np.asarray(pts), np.asarray(vals)
 
@@ -296,10 +311,13 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         acq_kwargs = dict(acq_kwargs or {})
         mc_samples = acq_kwargs.get("mc_samples")
         mc_points_size = int(acq_kwargs.get("mc_points_size", 128))
-        mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size, rng=rng)
+        mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size,
+                                  rng=rng, gp=gp)
         mc_points = jnp.asarray(mc_points)
+        from .parallel.mesh import production_mesh
 
-        sweep = _wip_sweep_core(gp.cfg, self._use_std, SWEEP_DTYPE)
+        sweep = _wip_sweep_core(gp.cfg, self._use_std, SWEEP_DTYPE,
+                                production_mesh())
         acq_vals, V, var = sweep(gp.state, mc_points)
         i_best = int(jnp.argmin(acq_vals))
         acq_min = float(acq_vals[i_best])
@@ -339,11 +357,20 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
                    warm_state=None):
     """Posterior MC samples of the GP surrogate (reference acquisition.py:468).
 
-    'NUTS' -> on-device NUTS chains; 'NS' -> on-device vectorized nested
-    sampling (cheap settings); 'uniform' -> scrambled Sobol in the unit cube.
-    ``warm_state``: previous NUTS call's adapted kernel (see
-    samplers.sample_gp_nuts) for cheap cross-iteration re-warming.
+    'EHMC' -> lockstep ensemble HMC (the TPU-native default refresh: 64
+    persistent chains batched on the MXU, infer/ehmc.py); 'NUTS' -> on-device
+    NUTS chains; 'NS' -> on-device vectorized nested sampling (cheap
+    settings); 'uniform' -> scrambled Sobol in the unit cube.
+    ``warm_state``: previous NUTS/EHMC call's adapted kernel (see
+    samplers.sample_gp_nuts / sample_gp_ensemble) for cheap cross-iteration
+    re-warming.
     """
+    if method == "EHMC":
+        from .samplers import sample_gp_ensemble
+
+        return sample_gp_ensemble(gp, num_samples=num_samples,
+                                  np_rng=np_rng, rng_key=rng_key,
+                                  warm_state=warm_state)
     if method == "NUTS":
         from .samplers import sample_gp_nuts
 
@@ -366,12 +393,109 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
     raise ValueError(f"Unknown MC sample method '{method}'")
 
 
-def get_mc_points(mc_samples, mc_points_size=128, rng=None):
-    """Subsample the MC pool without replacement (reference :485-489)."""
+# Mode-balanced pool subsampling (on by default; BOBE_TPU_MODE_BALANCE=0
+# disables). Valley depth (in log-posterior) below which two clusters count
+# as the same mode.
+MODE_BALANCE = _os.environ.get("BOBE_TPU_MODE_BALANCE", "1") != "0"
+MODE_VALLEY_DEPTH = 2.0
+
+
+def _mode_labels(gp, x, rng, max_modes: int = 8) -> np.ndarray:
+    """Cluster the MC pool into posterior modes, merging clusters that are
+    not separated by a deep log-density valley.
+
+    KMeans over-segments on purpose (k up to ``max_modes``); two clusters
+    are then merged when the GP mean at the midpoint of their centers is
+    within MODE_VALLEY_DEPTH nats of the lower center — a unimodal posterior
+    collapses back to ONE mode (no behavior change), while genuinely
+    separated modes (deep valleys) stay distinct. Cheap: one small KMeans +
+    one batched GP predict on ~k + k(k-1)/2 points.
+    """
+    n = x.shape[0]
+    k = int(min(max_modes, max(1, n // 32)))
+    if k <= 1:
+        return np.zeros(n, dtype=int)
+    from sklearn.cluster import KMeans
+
+    km = KMeans(n_clusters=k, n_init=4,
+                random_state=int(rng.integers(2**31 - 1))).fit(x)
+    labels = np.asarray(km.labels_)
+    centers = np.asarray(km.cluster_centers_)
+
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    mids = np.asarray([(centers[i] + centers[j]) / 2 for i, j in pairs])
+    query = np.vstack([centers, mids])
+    mean = np.asarray(gp.predict_mean_batched(jnp.asarray(query)))
+    c_mean, m_mean = mean[:k], mean[k:]
+
+    parent = list(range(k))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (i, j), mm in zip(pairs, m_mean):
+        if mm >= min(c_mean[i], c_mean[j]) - MODE_VALLEY_DEPTH:
+            parent[find(i)] = find(j)
+    remap = {}
+    merged = np.empty(n, dtype=int)
+    for c in range(k):
+        root = find(c)
+        remap.setdefault(root, len(remap))
+    for idx in range(n):
+        merged[idx] = remap[find(labels[idx])]
+    return merged
+
+
+def _balanced_choice(labels, n_pick, rng) -> np.ndarray:
+    """Indices of a per-mode balanced subsample: equal target share per mode
+    (capped at mode occupancy), leftovers redistributed proportionally."""
+    modes, counts = np.unique(labels, return_counts=True)
+    C = len(modes)
+    take = np.minimum(counts, n_pick // C)
+    left = n_pick - int(take.sum())
+    if left > 0:
+        room = counts - take
+        if room.sum() > 0:
+            extra = np.floor(left * room / room.sum()).astype(int)
+            take = np.minimum(counts, take + extra)
+            # round-robin the last few slots to the roomiest modes
+            for c in np.argsort(-(counts - take)):
+                if take.sum() >= n_pick:
+                    break
+                if take[c] < counts[c]:
+                    take[c] += 1
+    idx = []
+    for m, c, t in zip(modes, counts, take):
+        members = np.flatnonzero(labels == m)
+        idx.append(rng.choice(members, size=int(t), replace=False))
+    return np.concatenate(idx)
+
+
+def get_mc_points(mc_samples, mc_points_size=128, rng=None, gp=None):
+    """Subsample the MC pool without replacement (reference :485-489).
+
+    With ``gp`` given and mode balancing on, the subsample is stratified
+    per posterior mode (see :func:`_mode_labels`): the WIP acquisition
+    averages fantasy variance over these points, so a dominant mode in the
+    pool would otherwise starve minority modes of acquisition weight — the
+    shared failure floor of the reference on multimodal targets
+    (Himmelblau |dlogZ| ~ 0.1-0.3 at small budgets). Labels are computed
+    once per pool refresh and cached on the mc_samples dict.
+    """
     rng = rng if rng is not None else get_numpy_rng()
     x = np.asarray(mc_samples["x"])
     n = x.shape[0]
     if n <= mc_points_size:
         return x
+    if MODE_BALANCE and gp is not None and isinstance(mc_samples, dict):
+        labels = mc_samples.get("_mode_labels")
+        if labels is None or len(labels) != n:
+            labels = _mode_labels(gp, x, rng)
+            mc_samples["_mode_labels"] = labels
+        if labels.max() > 0:
+            return x[_balanced_choice(labels, mc_points_size, rng)]
     idx = rng.choice(n, size=mc_points_size, replace=False)
     return x[idx]

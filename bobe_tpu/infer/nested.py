@@ -84,10 +84,11 @@ def _chord_bounds(x, e):
 
 
 @partial(jax.jit, static_argnames=("loglike_apply", "nlive", "kill_k",
-                                   "max_dead", "n_repeats", "max_shrink", "d"))
+                                   "max_dead", "n_repeats", "max_shrink", "d",
+                                   "mesh"))
 def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
              nlive: int, kill_k: int, max_dead: int, n_repeats: int,
-             max_shrink: int, d: int, dlogz: float, maxcall: int):
+             max_shrink: int, d: int, dlogz: float, maxcall: int, mesh=None):
     """The jitted NS main loop. Returns padded dead buffers + counters.
 
     ``loglike_apply(ctx, x)`` evaluates the batched log-likelihood; ``ctx`` is
@@ -124,6 +125,13 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
                 key, k_t = random.split(key)
                 t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
                 x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
+                if mesh is not None:
+                    # multi-chip: the proposal batch (the hot GP-mean eval)
+                    # is sharded over the mesh; the GP state is replicated
+                    from ..parallel.mesh import batch_sharded
+
+                    x_try = jax.lax.with_sharding_constraint(
+                        x_try, batch_sharded(mesh))
                 l_try = loglike_fn(x_try)
                 # exact eval accounting: only not-yet-done lanes consume a
                 # surrogate call this round (dynesty-equivalent ncall
@@ -216,7 +224,7 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                kill_frac: float = 0.1, n_repeats: int | None = None,
                max_shrink: int = 40, max_dead: int | None = None,
                live_x=None, live_logl=None, rng=None,
-               logvol0: float = 0.0) -> NSResult:
+               logvol0: float = 0.0, mesh=None) -> NSResult:
     """Run nested sampling; ``loglike_apply(ctx, x)`` maps (m, d) -> (m,).
 
     ``loglike_apply`` must be a stable (cacheable) function and ``ctx`` the
@@ -254,7 +262,8 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
      n_iter, calls) = _ns_loop(
         loglike_apply, ctx, live_x, live_logl, key,
         jnp.asarray(float(logvol0), dt), nlive, K, max_dead,
-        int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall))
+        int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall),
+        mesh)
 
     n_dead = int(n_dead)
     dead_x = np.asarray(dead_x)[:n_dead]
@@ -280,6 +289,11 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
     sched_live = nlive - np.arange(nlive)
     schedule = np.concatenate([sched_dead, sched_live]).astype(float)
 
+    if int(calls) >= maxcall:
+        log.warning(
+            f"NS terminated on maxcall={maxcall} before reaching dlogz="
+            f"{dlogz} (n_iter={int(n_iter)}); logZ is truncated low — raise "
+            "maxcall (samplers.nested_sampling scales it automatically)")
     success = bool(n_dead > 0 and not np.all(all_logl == all_logl[0]))
     return NSResult(all_x, all_logl, all_lv, float(logz), int(calls),
                     int(n_iter), nlive, success, schedule, float(logvol0))

@@ -36,6 +36,35 @@ def get_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+_PRODUCTION_MESH = None
+
+
+def production_mesh() -> Optional[Mesh]:
+    """The mesh the production BO loop shards over, or None on a single chip.
+
+    This is how multi-chip turns ON for the whole framework: the acquisition
+    sweep cores, the ensemble/NUTS chain axes and the NS batch evaluations
+    all consult this and add sharding constraints when it is non-None (the
+    reference's only device-level dispatch was pmapping NUTS chains,
+    /root/reference/BOBE/samplers.py:304-349). Disable with BOBE_TPU_NO_MESH=1
+    (used by the sharded-vs-unsharded parity tests).
+    """
+    import os
+
+    if os.environ.get("BOBE_TPU_NO_MESH"):
+        return None
+    global _PRODUCTION_MESH
+    if _PRODUCTION_MESH is None:
+        try:
+            devices = jax.devices()
+        except RuntimeError:
+            return None
+        if len(devices) < 2:
+            return None
+        _PRODUCTION_MESH = get_mesh(devices)
+    return _PRODUCTION_MESH
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

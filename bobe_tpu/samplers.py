@@ -139,26 +139,45 @@ def _seed_live_points(gp, loglike, nlive, ndim, rng):
 def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
                     dlogz: Optional[float] = None, dynamic: bool = False,
                     maxcall: Optional[int] = None, equal_weights: bool = False,
-                    rng=None, rng_key=None,
+                    rng=None, rng_key=None, nlive: Optional[int] = None,
                     **ns_kwargs) -> Tuple[Dict, Dict, bool]:
     """Nested sampling over the GP surrogate.
 
     Returns (samples_dict, logz_dict, success) with the reference's schema
     (samplers.py:185-194): logz_dict carries mean/upper/lower/var/std/
-    dlogz_sampler; samples carry x/weights/logl/best/method.
+    dlogz_sampler; samples carry x/weights/logl/best/method. ``nlive``
+    overrides the per-mode default (reference samplers.py:119-125).
     """
     ndim = ndim if ndim is not None else gp.ndim
-    nlive, dlogz_default, maxcall_default = ns_settings(mode, ndim)
+    nlive_default, dlogz_default, maxcall_default = ns_settings(mode, ndim)
+    nlive = nlive if nlive is not None else nlive_default
     dlogz = dlogz if dlogz is not None else dlogz_default
-    maxcall = maxcall if maxcall is not None else maxcall_default
     if mode == "acq":
         equal_weights = True
+    elif "n_repeats" not in ns_kwargs and ndim > 16:
+        # High-d decorrelation: at d=30 the 1.5d slice repeats leave the
+        # replacements correlated with their clone parents and logZ biased
+        # up to +0.4 (measured on the TRUE 30-d Gaussian; 3d repeats bring
+        # the 5-seed mean to -0.03, BENCH_NOTES round 3). The acq-mode pool
+        # refresh keeps the cheap default — the WIP average is insensitive.
+        ns_kwargs["n_repeats"] = int(np.ceil(3.0 * ndim))
+    if maxcall is None:
+        # the call budget must scale with the work a converged run actually
+        # needs (~100 * nlive * n_repeats batched evals measured across
+        # d=2..30); a fixed 5e6 silently truncated d=30 runs at ~60% depth
+        reps = int(ns_kwargs.get("n_repeats") or max(3, np.ceil(1.5 * ndim)))
+        maxcall = max(maxcall_default, 100 * int(nlive) * reps)
 
     rng = rng if rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
 
     apply_fn, ctx = _gp_loglike(gp)
     loglike = lambda x: apply_fn(ctx, x)
+
+    # multi-chip: shard the proposal-batch GP evaluations over the mesh
+    from .parallel.mesh import production_mesh
+
+    ns_kwargs.setdefault("mesh", production_mesh())
 
     live_x = live_logl = None
     logvol0, var_logvol0 = 0.0, 0.0
@@ -215,6 +234,19 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
 
 
 # ----------------------------------------------------------------------- NUTS
+
+def _maybe_shard_chains(arr):
+    """Lay the leading (chain) axis of ``arr`` out over the production mesh
+    when one is active and divides it — the TPU-native replacement for the
+    reference's pmap chain dispatch (samplers.py:304-349). jit honors
+    committed input shardings, so the cached runners need no mesh plumbing."""
+    from .parallel.mesh import batch_sharded, production_mesh
+
+    mesh = production_mesh()
+    if mesh is not None and arr.shape[0] % mesh.size == 0:
+        return jax.device_put(arr, batch_sharded(mesh))
+    return arr
+
 
 def get_hmc_settings(ndim, warmup_steps=None, num_samples=None, thinning=None):
     """Dimension-based defaults (reference samplers.py:196-214)."""
@@ -314,6 +346,7 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
 
     keys = jax.random.split(key, num_chains)
     warm_ok = (warm_state is not None
+               and warm_state.get("kind", "nuts") == "nuts"
                and warm_state.get("num_chains") == num_chains
                and warm_state.get("ndim") == gp.ndim
                and warm_state.get("dense_mass") == bool(dense_mass)
@@ -339,8 +372,9 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
         warm_tuple = (jnp.asarray(warm_state["step_size"]),
                       jnp.asarray(warm_state["mass_inv"]),
                       jnp.asarray(warm_state["mass_chol"]))
-        zs, logps, diag = runner(ctx, jnp.asarray(warm_state["last_z"]),
-                                 keys, warm_tuple)
+        zs, logps, diag = runner(
+            ctx, _maybe_shard_chains(jnp.asarray(warm_state["last_z"])),
+            _maybe_shard_chains(keys), warm_tuple)
         accept = float(np.mean(np.asarray(diag["mean_accept"])))
         div_rate = float(np.sum(np.asarray(diag["n_divergent"]))) / max(
             1, num_chains * num_samples)
@@ -351,7 +385,8 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     if not warm_ok:
         runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
                               int(thinning), bool(dense_mass), int(max_tree_depth))
-        zs, logps, diag = runner(ctx, _cold_init_z(), keys)
+        zs, logps, diag = runner(ctx, _maybe_shard_chains(_cold_init_z()),
+                                 _maybe_shard_chains(keys))
 
     xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
     # recover the untempered GP mean at the samples (the reference's 'logp'
@@ -373,8 +408,126 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                "mass_inv": np.asarray(diag["mass_inv"]),
                "mass_chol": np.asarray(diag["mass_chol"]),
                "last_z": np.asarray(diag["last_z"]),
-               "num_chains": num_chains, "ndim": gp.ndim,
+               "num_chains": num_chains, "ndim": gp.ndim, "kind": "nuts",
                "dense_mass": bool(dense_mass), "temp": float(temp)}}
     log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
               f"divergences={int(np.sum(out['diagnostics']['n_divergent']))}")
+    return out
+
+
+# ------------------------------------------------------- ensemble HMC refresh
+
+def get_ehmc_settings(ndim, num_chains=None, num_samples=None, warmup_steps=None):
+    """(num_chains, kept_per_chain, cold_warmup) for the ensemble refresh.
+
+    ``num_samples`` is the TOTAL pool size (matching get_hmc_settings'
+    num_samples semantics after thinning across 4 NUTS chains)."""
+    num_chains = int(num_chains) if num_chains else 64
+    total = int(num_samples) if num_samples else (1024 if ndim <= 9 else 2048)
+    kept = max(4, -(-total // num_chains))
+    cold_warmup = int(warmup_steps) if warmup_steps else (128 if ndim <= 9 else 256)
+    return num_chains, kept, cold_warmup
+
+
+def sample_gp_ensemble(gp, np_rng=None, rng_key=None, num_chains: int = 64,
+                       temp: float = 1.0, dense_mass: bool = True,
+                       num_leapfrog: int = 16, warm_state: Optional[Dict] = None,
+                       **kwargs) -> Dict:
+    """MC-pool refresh via the lockstep chain ensemble (infer/ehmc.py).
+
+    Same samples_dict schema as :func:`sample_gp_nuts`. This is the default
+    per-iteration pool refresh: the reference refreshed with full NUTS
+    (/root/reference/BOBE/bo.py:1314), whose sequential tree-building is the
+    dominant small-problem latency on an accelerator; the ensemble advances
+    64 persistent chains in lockstep so each leapfrog is one (64, d) batched
+    GP-mean evaluation and steady-state refreshes reuse the adapted kernel
+    AND the spread ensemble state (every surviving mode stays populated).
+    NUTS remains the final-samples sampler.
+    """
+    nc, kept, cold_warmup = get_ehmc_settings(
+        gp.ndim, num_chains=num_chains,
+        num_samples=kwargs.get("num_samples"),
+        warmup_steps=kwargs.get("warmup_steps"))
+    thinning = int(kwargs.get("thinning") or 2)
+    np_rng = np_rng if np_rng is not None else get_numpy_rng()
+    key = rng_key if rng_key is not None else get_new_jax_key()
+
+    from .infer.ehmc import run_ensemble
+
+    clf = getattr(gp, "_clf_ctx", None)
+    if clf is not None:
+        apply = _nuts_logprob_apply(gp.cfg, True, float(gp.probability_threshold),
+                                    float(gp.minus_inf), gp.clf_type, float(temp))
+        ctx = (gp.state, clf)
+    else:
+        apply = _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp))
+        ctx = gp.state
+
+    def _cold_init_z():
+        inits = [gp.get_random_point(rng=np_rng) for _ in range(nc - 1)]
+        best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
+        inits.append(best_x)
+        inits = np.clip(np.asarray(inits), 1e-6, 1 - 1e-6)
+        return jnp.asarray(np.log(inits) - np.log1p(-inits))
+
+    warm_ok = (warm_state is not None
+               and warm_state.get("kind") == "ehmc"
+               and warm_state.get("num_chains") == nc
+               and warm_state.get("ndim") == gp.ndim
+               and warm_state.get("dense_mass") == bool(dense_mass)
+               and warm_state.get("temp") == float(temp))
+    if warm_ok and clf is not None:
+        # same plateau guard as warm NUTS: a retrained classifier can strand
+        # cached chain ends on the minus_inf plateau where the acceptance
+        # guard is blind (zero gradient, all proposals equal-logp)
+        start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
+            jnp.asarray(warm_state["last_z"])))
+        frac_ok = float(np.mean(start_lp > 0.5 * float(gp.minus_inf)))
+        if frac_ok < 0.9:
+            log.debug(f"warm ensemble rejected: {1 - frac_ok:.0%} of chain "
+                      "ends now infeasible under the retrained classifier")
+            warm_ok = False
+    if warm_ok:
+        warm_tuple = (jnp.asarray(warm_state["step_size"]),
+                      jnp.asarray(warm_state["mass_inv"]),
+                      jnp.asarray(warm_state["mass_chol"]))
+        zs, logps, diag = run_ensemble(
+            apply, ctx, _maybe_shard_chains(jnp.asarray(warm_state["last_z"])), key,
+            num_warmup=24, num_samples=kept, thinning=thinning,
+            dense_mass=bool(dense_mass), num_leapfrog=int(num_leapfrog),
+            warm=warm_tuple, adapt_mass=False)
+        accept = float(np.asarray(diag["mean_accept"]))
+        div_rate = float(np.asarray(diag["n_divergent"])) / max(1, nc * kept * thinning)
+        if accept < 0.5 or div_rate > 0.05:
+            log.debug(f"warm ensemble rejected (accept={accept:.2f}, "
+                      f"div={div_rate:.3f}); cold restart")
+            warm_ok = False
+    if not warm_ok:
+        zs, logps, diag = run_ensemble(
+            apply, ctx, _maybe_shard_chains(_cold_init_z()), key,
+            num_warmup=cold_warmup,
+            num_samples=kept, thinning=thinning, dense_mass=bool(dense_mass),
+            num_leapfrog=int(num_leapfrog))
+
+    xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
+    mean_apply = _mean_apply(gp.cfg, clf is not None,
+                             float(getattr(gp, "probability_threshold", 0.0)),
+                             float(getattr(gp, "minus_inf", 0.0)),
+                             getattr(gp, "clf_type", "") if clf is not None else "")
+    logp_mean = np.asarray(mean_apply(ctx, xs))
+    xs = np.asarray(xs)
+    out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
+           "method": "MCMC",
+           "diagnostics": {k: np.asarray(v) for k, v in diag.items()
+                           if k in ("mean_accept", "n_divergent", "step_size")},
+           "warm_state": {
+               "kind": "ehmc",
+               "step_size": np.asarray(diag["step_size"]),
+               "mass_inv": np.asarray(diag["mass_inv"]),
+               "mass_chol": np.asarray(diag["mass_chol"]),
+               "last_z": np.asarray(diag["last_z"]),
+               "num_chains": nc, "ndim": gp.ndim,
+               "dense_mass": bool(dense_mass), "temp": float(temp)}}
+    log.debug(f"EHMC: accept={float(np.asarray(diag['mean_accept'])):.3f}, "
+              f"divergences={int(np.asarray(diag['n_divergent']))}")
     return out

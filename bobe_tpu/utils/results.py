@@ -343,8 +343,9 @@ class BOBEResults:
 
     def finalize(self, samples_dict: Dict[str, Any], logz_dict: Dict[str, Any],
                  converged: bool, termination_reason: Optional[str],
-                 gp_info: Dict[str, Any]):
-        """Store final results and write every artifact (reference
+                 gp_info: Dict[str, Any], write: bool = True):
+        """Store final results and (unless ``write=False``, for BOBE
+        save=False runs) write every artifact (reference
         results.py:516,654-780)."""
         self.converged = bool(converged)
         self.termination_reason = termination_reason
@@ -357,6 +358,8 @@ class BOBEResults:
                 samples_dict.get("weights", np.ones(n))).reshape(-1)
             self.final_loglikes = np.asarray(
                 samples_dict.get("logl", np.zeros(n))).reshape(-1)
+        if not write:
+            return
         os.makedirs(self.save_dir, exist_ok=True)
         self.save_main_results()
         if samples_dict:

@@ -1,6 +1,9 @@
 """Himmelblau 2-D multimodal toy with batched acquisition (batch_size=4).
 
-Expected logZ ~ -3.2 on [-5, 5]^2 (reference docs detailed_usage.rst:197).
+True logZ = -5.504 on [-5, 5]^2 (brute-force quadrature; the reference docs
+quote ~ -3.2, detailed_usage.rst:197, which does not match the integral).
+Round-3 measured multi-seed |dlogZ| <= 0.076 via mode-balanced acquisition
++ the final-precision NS pass (BENCH_NOTES).
 """
 import os
 
@@ -29,7 +32,7 @@ def main():
     results = bobe.run(
         acq="wipstd", min_evals=60, max_evals=400, max_gp_size=400,
         logz_threshold=2e-2, fit_n_points=4, batch_size=4, ns_n_points=8,
-        convergence_n_iters=2,
+        convergence_n_iters=2, mc_points_size=256,
     )
     if results is None:
         return

@@ -147,3 +147,58 @@ def test_greedy_batch_distinct_indices_on_degenerate_pool(gp):
     idx = np.asarray(idx)
     assert len(set(idx.tolist())) == 4
     assert np.all(np.isfinite(np.asarray(vals)))
+
+
+# ------------------------------------------------ mode-balanced MC subsample
+
+def _bimodal_gp():
+    from bobe_tpu.models.gp import GP
+
+    rng = np.random.default_rng(11)
+    # two sharp Gaussians at 0.2 and 0.8 (deep valley between)
+    x = np.vstack([rng.normal(0.2, 0.04, size=(30, 2)),
+                   rng.normal(0.8, 0.04, size=(30, 2)),
+                   rng.uniform(size=(20, 2))]).clip(0, 1)
+    y = np.logaddexp(-0.5 * np.sum(((x - 0.2) / 0.05) ** 2, 1),
+                     -0.5 * np.sum(((x - 0.8) / 0.05) ** 2, 1))
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    gp.fit(n_restarts=2, maxiter=100, rng=rng)
+    return gp
+
+
+def test_mode_labels_separates_deep_modes_and_merges_unimodal():
+    from bobe_tpu.acquisition import _mode_labels
+
+    gp = _bimodal_gp()
+    rng = np.random.default_rng(0)
+    # pool drawn from the two modes
+    pool = np.vstack([rng.normal(0.2, 0.04, size=(200, 2)),
+                      rng.normal(0.8, 0.04, size=(100, 2))]).clip(0, 1)
+    labels = _mode_labels(gp, pool, rng)
+    # the two true modes must get distinct labels
+    l_a = np.bincount(labels[:200]).argmax()
+    l_b = np.bincount(labels[200:]).argmax()
+    assert l_a != l_b
+    # a unimodal pool collapses to one label (no behavior change)
+    uni = rng.normal(0.2, 0.04, size=(300, 2)).clip(0, 1)
+    assert _mode_labels(gp, uni, rng).max() == 0
+
+
+def test_get_mc_points_balances_modes():
+    from bobe_tpu.acquisition import get_mc_points
+
+    gp = _bimodal_gp()
+    rng = np.random.default_rng(1)
+    # dominant mode has 15x the pool mass of the minority mode
+    pool = np.vstack([rng.normal(0.2, 0.04, size=(750, 2)),
+                      rng.normal(0.8, 0.04, size=(50, 2))]).clip(0, 1)
+    mc = {"x": pool}
+    pts = get_mc_points(mc, mc_points_size=128, rng=rng, gp=gp)
+    assert pts.shape == (128, 2)
+    minority = np.sum(np.linalg.norm(pts - 0.8, axis=1) < 0.3)
+    # proportional sampling would give ~8 minority points; balanced gives ~50
+    assert minority >= 30, f"minority mode got only {minority}/128 points"
+    # without gp (reference behavior) the subsample stays proportional
+    pts_u = get_mc_points({"x": pool}, mc_points_size=128, rng=rng)
+    minority_u = np.sum(np.linalg.norm(pts_u - 0.8, axis=1) < 0.3)
+    assert minority_u < 30

@@ -45,11 +45,10 @@ def test_bobe_wipstd_himmelblau(tmp_path):
         verbosity="WARNING",
         pool="serial",
     )
-    results = bobe.run(acq="wipstd", min_evals=30, max_evals=90,
-                       max_gp_size=120, logz_threshold=0.5,
-                       convergence_n_iters=1, fit_n_points=8, batch_size=4,
-                       ns_n_points=8, mc_points_method="uniform",
-                       mc_points_size=64, do_final_ns=True)
+    results = bobe.run(acq="wipstd", min_evals=40, max_evals=160,
+                       max_gp_size=200, logz_threshold=0.05,
+                       convergence_n_iters=2, fit_n_points=8, batch_size=4,
+                       ns_n_points=8, mc_points_size=256, do_final_ns=True)
     assert results is not None
     samples = results["samples"]
     assert len(samples) > 0 and samples["x"].shape[1] == 2
@@ -61,7 +60,10 @@ def test_bobe_wipstd_himmelblau(tmp_path):
     # force quadrature on a 4001^2 grid). NOTE: the reference docs quote
     # "~ -3.2" (detailed_usage.rst:197), which does not match the integral of
     # exp(-himmelblau) over this box; we test against the true value.
-    assert abs(logz["mean"] - (-5.504)) < 0.8, f"logZ {logz['mean']}"
+    # Round 3 tightened 0.8 -> 0.2: mode-balanced acquisition + the
+    # final-precision NS give measured multi-seed scatter <= 0.076 (the
+    # round-2 floor was per-mode surrogate imbalance + NS sampler noise).
+    assert abs(logz["mean"] - (-5.504)) < 0.2, f"logZ {logz['mean']}"
     # output artifacts exist
     import os
 

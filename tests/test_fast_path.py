@@ -67,9 +67,9 @@ def test_default_sweep_is_f64_in_acquisition(gp_noisy, monkeypatch):
     requested = []
     orig = acq_mod._wip_sweep_core
 
-    def spy(cfg, use_std, dtype):
+    def spy(cfg, use_std, dtype, mesh=None):
         requested.append(dtype)
-        return orig(cfg, use_std, dtype)
+        return orig(cfg, use_std, dtype, mesh)
 
     monkeypatch.setattr(acq_mod, "_wip_sweep_core", spy)
     rng = np.random.default_rng(3)

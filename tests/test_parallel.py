@@ -111,3 +111,92 @@ def test_graft_entry_dryrun():
     assert out.shape == (64,)
     assert bool(jnp.all(jnp.isfinite(out)))
     g.dryrun_multichip(8)
+
+
+def test_sharded_nuts_matches_unsharded():
+    """Chain-axis sharding must not change per-chain NUTS math (chains are
+    independent lanes; sharding only lays them out over devices)."""
+    from functools import partial
+
+    from bobe_tpu.infer.nuts import run_chain
+    from bobe_tpu.parallel import mesh as pmesh
+
+    icov = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.6], [0.6, 1.5]])))
+
+    def logp(ctx, z):
+        return -0.5 * z @ icov @ z
+
+    init = jax.random.normal(jax.random.PRNGKey(0), (8, 2), dtype=jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    kwargs = dict(num_warmup=64, num_samples=32, thinning=2, max_depth=5)
+    zs_s, logps_s, diag_s = pmesh.sharded_nuts(logp, None, init, keys, **kwargs)
+    runner = jax.jit(jax.vmap(partial(run_chain, logp, **kwargs),
+                              in_axes=(None, 0, 0)))
+    zs_u, logps_u, diag_u = runner(None, init, keys)
+    np.testing.assert_allclose(np.asarray(zs_s), np.asarray(zs_u), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(logps_s), np.asarray(logps_u),
+                               rtol=1e-7)
+
+
+def test_wip_sweep_production_mesh_matches_nomesh(monkeypatch):
+    """The production sweep core with the mesh active must agree with the
+    single-device core exactly (GSPMD only re-lays-out the candidate axis)."""
+    from bobe_tpu.acquisition import _wip_sweep_core
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(50, 3))
+    y = -np.sum((x - 0.4) ** 2, 1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    mc = jnp.asarray(rng.uniform(size=(40, 3)))
+
+    mesh = pmesh.production_mesh()
+    assert mesh is not None, "8-device test platform must activate the mesh"
+    acq_m, _, _ = _wip_sweep_core(gp.cfg, True, "float64", mesh)(gp.state, mc)
+    acq_u, _, _ = _wip_sweep_core(gp.cfg, True, "float64", None)(gp.state, mc)
+    np.testing.assert_allclose(np.asarray(acq_m), np.asarray(acq_u), rtol=1e-10)
+
+
+def test_ehmc_sharded_statistical_parity(monkeypatch):
+    """sample_gp_ensemble with the chain axis sharded over the mesh vs the
+    mesh disabled: same posterior moments (layout, not math, changes)."""
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.samplers import sample_gp_ensemble
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(size=(50, 2))
+    y = -0.5 * np.sum(((x - 0.5) / 0.15) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    gp.fit(n_restarts=2, maxiter=80, rng=rng)
+
+    out_m = sample_gp_ensemble(gp, np_rng=np.random.default_rng(0),
+                               rng_key=jax.random.PRNGKey(2), num_samples=1024)
+    monkeypatch.setenv("BOBE_TPU_NO_MESH", "1")
+    out_u = sample_gp_ensemble(gp, np_rng=np.random.default_rng(0),
+                               rng_key=jax.random.PRNGKey(2), num_samples=1024)
+    np.testing.assert_allclose(out_m["x"].mean(0), out_u["x"].mean(0), atol=0.05)
+    np.testing.assert_allclose(out_m["x"].std(0), out_u["x"].std(0), atol=0.05)
+
+
+def test_ns_sharded_stays_calibrated():
+    """run_nested with the proposal batches sharded over the mesh stays
+    logZ-calibrated on an analytic Gaussian."""
+    from scipy.special import logsumexp
+
+    from bobe_tpu.infer import integrals
+    from bobe_tpu.infer.nested import run_nested
+    from bobe_tpu.parallel import mesh as pmesh
+
+    D, SIGMA = 2, 0.1
+
+    def apply_fn(ctx, x):
+        return (-0.5 * jnp.sum(((x - 0.5) / SIGMA) ** 2, axis=-1)
+                - 0.5 * D * jnp.log(2 * jnp.pi * SIGMA**2))
+
+    res = run_nested(apply_fn, None, D, jax.random.PRNGKey(3), nlive=200,
+                     dlogz=0.05, rng=np.random.default_rng(5),
+                     mesh=pmesh.production_mesh())
+    assert res.success
+    lz = float(logsumexp(integrals.logwt_from(res.dead_logl, res.logvol)))
+    assert abs(lz - 0.0) < 0.15  # truth: fully contained unit-cube Gaussian
