@@ -186,22 +186,149 @@ class DistributedPool(EvalPool):
     """Multi-host likelihood farm over the jax.distributed process group.
 
     Every process runs the same program. Rank 0 drives the BO loop; at each
-    evaluation point all ranks enter :meth:`run_map_objective` together:
-    the batch is broadcast from rank 0, each rank evaluates its round-robin
-    shard on the host CPU, and a process all-gather reassembles the ordered
-    results. Worker ranks block in :meth:`worker_loop` between batches.
+    evaluation point all ranks enter :meth:`run_map_objective` together.
+    Control flow rides the process-group collectives (a broadcast header
+    announces each task round; an all-gather acts as the round barrier), but
+    the WORK distribution is dynamic: rank 0 hosts a TCP task queue
+    (multiprocessing.managers, served from a daemon thread) that every rank
+    — rank 0 included — pulls from greedily. This reproduces the reference's
+    send-one/recv-any scheduler semantics (pool.py:143-206): heterogeneous
+    evaluation times (a Cobaya failure returns instantly, a success takes
+    ~1 s) load-balance instead of idling every rank at a static-shard
+    barrier. If the queue server cannot be set up (restricted sockets), the
+    pool falls back to static round-robin sharding + all-gather.
 
-    Requires jax.distributed.initialize() to have been called (the BOBE
-    orchestrator does this when world size > 1).
+    Worker ranks block in :meth:`worker_loop` between batches. Requires
+    jax.distributed.initialize() to have been called (the BOBE orchestrator
+    does this when world size > 1).
     """
 
-    TASK_EVAL, TASK_COBAYA, TASK_EXIT = 0, 1, 2
+    TASK_EVAL, TASK_COBAYA, TASK_EXIT, TASK_EVAL_DYN = 0, 1, 2, 3
+    _ADDR_BYTES = 64  # fixed-size wire format: ip(40) + port(4) + authkey(16)
+    # class-level defaults so transport-stubbed instances (tests build the
+    # pool via __new__) get the static path
+    _dyn = False
+    _queues = None
 
     def __init__(self):
         import jax
 
         self.rank = jax.process_index()
         self.size = jax.process_count()
+        self._queues = None
+        self._dyn = False
+        if self.size > 1:
+            self._dyn = self._setup_task_queues()
+
+    # -------------------------------------------------- dynamic task queue
+
+    def _setup_task_queues(self) -> bool:
+        """Rank 0 serves task/result queues over TCP; the (ip, port, authkey)
+        triple is broadcast over the process group. Returns False (static
+        fallback) if serving or connecting fails on any rank."""
+        import queue as _queue
+        import secrets
+        import socket
+        import threading
+        from multiprocessing.managers import BaseManager
+
+        class _QueueManager(BaseManager):
+            pass
+
+        ok = np.zeros(1)
+        try:
+            if self.rank == 0:
+                task_q, result_q = _queue.Queue(), _queue.Queue()
+                _QueueManager.register("task_q", callable=lambda: task_q)
+                _QueueManager.register("result_q", callable=lambda: result_q)
+                authkey = secrets.token_bytes(16)
+                mgr = _QueueManager(address=("0.0.0.0", 0), authkey=authkey)
+                # serve from a thread: forking a jax-initialized process (the
+                # BaseManager.start() default) can deadlock on backend threads
+                server = mgr.get_server()
+                threading.Thread(target=server.serve_forever,
+                                 daemon=True).start()
+                port = server.address[1]
+                try:
+                    ip = socket.gethostbyname(socket.gethostname())
+                except OSError:
+                    ip = "127.0.0.1"
+                wire = np.zeros(self._ADDR_BYTES, dtype=np.uint8)
+                ip_b = ip.encode()[:40]
+                wire[:len(ip_b)] = np.frombuffer(ip_b, dtype=np.uint8)
+                wire[40:44] = np.frombuffer(
+                    int(port).to_bytes(4, "little"), dtype=np.uint8)
+                wire[44:60] = np.frombuffer(authkey, dtype=np.uint8)
+                self._bcast(wire)
+                self._queues = (task_q, result_q)
+                ok[0] = 1.0
+            else:
+                wire = self._bcast(np.zeros(self._ADDR_BYTES, dtype=np.uint8))
+                ip = bytes(wire[:40]).rstrip(b"\x00").decode()
+                port = int.from_bytes(bytes(wire[40:44]), "little")
+                authkey = bytes(wire[44:60])
+                _QueueManager.register("task_q")
+                _QueueManager.register("result_q")
+                # a worker may land here before rank 0's server thread is up
+                last = None
+                for host in (ip, "127.0.0.1"):
+                    for _ in range(50):
+                        try:
+                            mgr = _QueueManager(address=(host, port),
+                                                authkey=authkey)
+                            mgr.connect()
+                            self._queues = (mgr.task_q(), mgr.result_q())
+                            ok[0] = 1.0
+                            break
+                        except (ConnectionError, OSError) as e:
+                            last = e
+                            import time
+
+                            time.sleep(0.1)
+                    if ok[0]:
+                        break
+                if not ok[0]:
+                    log.warning(f"task-queue connect failed ({last}); ")
+        except Exception as e:  # any rank failing downgrades every rank
+            log.warning(f"dynamic task queue unavailable ({e}); "
+                        "falling back to static sharding")
+        # consensus: dynamic only if EVERY rank is wired up
+        all_ok = self._allgather_rows(ok)
+        return bool(np.all(all_ok == 1.0))
+
+    def _dynamic_round(self, likelihood, points=None):
+        """One dynamic evaluation round. Rank 0 passes the batch and gets the
+        ordered values back; workers pass None and serve until the sentinel.
+        The trailing all-gather is the round barrier (keeps the collective
+        protocol aligned across ranks for the NEXT broadcast)."""
+        task_q, result_q = self._queues
+        n = 0
+        if self.rank == 0:
+            n = len(points)
+            for i, p in enumerate(points):
+                task_q.put((i, np.asarray(p)))
+            for _ in range(self.size):
+                task_q.put(None)
+        while True:
+            task = task_q.get()
+            if task is None:
+                break
+            i, p = task
+            try:
+                result_q.put((i, float(likelihood(p)), None))
+            except Exception as e:  # pool-level failure (fail-fast, like
+                result_q.put((i, np.nan, repr(e)))  # reference pool.py:133)
+        out, err = None, None
+        if self.rank == 0:
+            out = np.full(n, np.nan, dtype=np.float64)
+            for _ in range(n):
+                i, v, e = result_q.get()
+                out[i] = v
+                err = err or e
+        self._allgather_rows(np.zeros(1))  # round barrier
+        if err:
+            raise RuntimeError(f"likelihood evaluation failed on a worker: {err}")
+        return out
 
     @property
     def is_main_process(self) -> bool:
@@ -231,6 +358,12 @@ class DistributedPool(EvalPool):
         points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         if self.size == 1:
             return SerialPool().run_map_objective(likelihood, points)
+        if self._dyn:
+            if self.is_main_process:
+                self._bcast(np.asarray(
+                    [self.TASK_EVAL_DYN, len(points), points.shape[1]],
+                    dtype=np.float64))
+            return self._dynamic_round(likelihood, points)
         if self.is_main_process:
             self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]],
                                    dtype=np.float64))
@@ -251,7 +384,9 @@ class DistributedPool(EvalPool):
             task = int(header[0])
             if task == self.TASK_EXIT:
                 return
-            if task == self.TASK_EVAL:
+            if task == self.TASK_EVAL_DYN:
+                self._dynamic_round(likelihood)
+            elif task == self.TASK_EVAL:
                 n, d = int(header[1]), int(header[2])
                 pts = self._bcast(np.zeros((n, d)))
                 local = self._eval_shard(likelihood, pts)

@@ -10,16 +10,33 @@ exit. Mirrors the reference's mpirun-driven test entry
 Modes:
   pool — two run_map_objective batches of co-prime sizes + close():
          asserts ordered values on rank 0, clean worker exit on ranks > 0.
+  hetero — a batch with wildly heterogeneous per-point cost (one slow point,
+         many instant ones). With the dynamic task queue the slow point pins
+         ONE rank while the others drain the rest, so the round completes in
+         ~t_slow; static round-robin sharding would stack several slow-ish
+         points on one rank. Asserts correctness + near-ideal wall time.
   bobe — a full 2-iteration BOBE EI loop through the pool (the orchestrator
          split-brain: workers block in worker_loop inside BOBE.__init__).
 """
 import sys
+import time
 
 import numpy as np
 
 
 def quad(x):
     return -float(np.sum((np.asarray(x) - 0.5) ** 2) * 20.0)
+
+
+SLOW = 1.5
+
+
+def lumpy(x):
+    # one expensive point per batch (x[0] > 0.9 marks it), the rest instant —
+    # the Cobaya regime: failures return immediately, successes take ~1 s
+    if x[0] > 0.9:
+        time.sleep(SLOW)
+    return quad(x)
 
 
 BOUNDS = np.array([[0.0, 1.0], [0.0, 1.0]]).T
@@ -57,6 +74,42 @@ def main():
             print("POOL_PROTOCOL_OK", flush=True)
         else:
             pool.worker_loop(lk)
+            print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
+        return
+
+    if mode == "hetero":
+        lk_slow = Likelihood(lumpy, ["a", "b"], param_bounds=BOUNDS)
+        pool = DistributedPool()
+        assert pool._dyn, "dynamic task queue failed to come up"
+        if pool.is_main_process:
+            # 2*size - 1 instant points + ONE slow point, slow point first in
+            # submission order: dynamic pulls keep every rank busy
+            rng = np.random.default_rng(1)
+            pts = rng.uniform(0.0, 0.8, size=(2 * size - 1, 2))
+            pts = np.vstack([[[0.95, 0.5]], pts])
+            t0 = time.time()
+            vals = pool.run_map_objective(lk_slow, pts)
+            wall = time.time() - t0
+            exp = np.asarray([quad(p) for p in pts])
+            assert np.allclose(vals, exp), (vals, exp)
+            # ideal = SLOW (slow point hides the instant ones); static
+            # round-robin would be fine here too, so ALSO check the pathologic
+            # case: all slow points land on ranks' shards unevenly
+            assert wall < SLOW + 1.0, f"hetero round took {wall:.2f}s"
+            # second batch: `size` slow points — dynamic spreads them one per
+            # rank (wall ~ SLOW); static round-robin on rank-strided shards
+            # would serialize them when they collide on one rank
+            pts2 = np.vstack([np.full((size, 2), 0.95),
+                              rng.uniform(0.0, 0.8, size=(size, 2))])
+            t0 = time.time()
+            vals2 = pool.run_map_objective(lk_slow, pts2)
+            wall2 = time.time() - t0
+            assert np.allclose(vals2, np.asarray([quad(p) for p in pts2]))
+            assert wall2 < 2 * SLOW, f"slow points serialized: {wall2:.2f}s"
+            pool.close()
+            print(f"HETERO_OK wall={wall:.2f} wall2={wall2:.2f}", flush=True)
+        else:
+            pool.worker_loop(lk_slow)
             print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
         return
 

@@ -71,3 +71,18 @@ def test_bobe_ei_loop_under_real_group():
     rc1, out1, err1 = outs[1]
     assert rc1 == 0, f"rank1 failed:\n{err1[-3000:]}"
     assert "WORKER_CLEAN_EXIT_1" in out1
+
+
+def test_dynamic_scheduling_heterogeneous_cost():
+    """Greedy dynamic scheduling must load-balance heterogeneous evaluation
+    times (the reference's send-one/recv-any farm, pool.py:143-206): a batch
+    with one slow point completes in ~t_slow, and `size` slow points spread
+    one per rank instead of stacking on a static shard."""
+    outs = _launch_group("hetero", 3, timeout=420)
+    rc0, out0, err0 = outs[0]
+    assert rc0 == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert "HETERO_OK" in out0
+    for r in range(1, 3):
+        rc, out, err = outs[r]
+        assert rc == 0, f"rank{r} failed:\n{err[-3000:]}"
+        assert f"WORKER_CLEAN_EXIT_{r}" in out
