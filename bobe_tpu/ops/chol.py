@@ -30,42 +30,11 @@ def cholesky(K):
     return jnp.linalg.cholesky(K)
 
 
-_BLOCK = 128
-
-
-def cholesky_blocked(K, block: int = _BLOCK):
-    """Right-looking blocked Cholesky, unrolled over static panels.
-
-    XLA's float64 cholesky on TPU lowers to a slow emulated path (~72 ms at
-    n=1024, measured); this variant spends its O(n^3) in f64 *matmuls* (fast
-    XLA emulation on the MXU) plus one small (block x block) factorization
-    per panel — ~10x faster at n=1024. The Python loop is static (n/block
-    steps) so the whole factorization compiles to one straight-line program.
-
-    Exactly equivalent to jnp.linalg.cholesky on PD inputs; non-PD inputs
-    produce NaNs that propagate, same as the plain path (the jitter ladder
-    in :func:`cholesky_jittered` relies on this).
-    """
-    n = K.shape[0]
-    if n % block != 0 or n <= block:
-        return jnp.linalg.cholesky(K)
-    T = n // block
-    L = jnp.zeros_like(K)
-    A = K
-    for k in range(T):
-        s = k * block
-        Akk = lax.dynamic_slice(A, (s, s), (block, block))
-        Lkk = jnp.linalg.cholesky(Akk)
-        L = lax.dynamic_update_slice(L, Lkk, (s, s))
-        rest = n - (k + 1) * block
-        if rest > 0:
-            Aik = lax.dynamic_slice(A, (s + block, s), (rest, block))
-            Lik = solve_triangular(Lkk, Aik.T, lower=True).T  # (rest, block)
-            L = lax.dynamic_update_slice(L, Lik, (s + block, s))
-            trail = lax.dynamic_slice(A, (s + block, s + block), (rest, rest))
-            trail = trail - Lik @ Lik.T
-            A = lax.dynamic_update_slice(A, trail, (s + block, s + block))
-    return L
+# NOTE: a right-looking blocked f64 Cholesky variant lived here through
+# round 2 claiming ~10x over jnp.linalg.cholesky on TPU-emulated f64; on the
+# current XLA it measures at exact parity (70.0 vs 70.0 ms at n=1024, TPU
+# v5e — the emulated f64 matmuls now cost the same as the emulated chol), so
+# it was removed (BENCH_NOTES round 3).
 
 
 def cholesky_jittered(K, mask, amp):

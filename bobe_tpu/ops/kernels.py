@@ -17,10 +17,22 @@ lengthscales and a global variance (amplitude) parameter.
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 
 SQRT5 = math.sqrt(5.0)
+
+# Optional fused Pallas backend for gram_masked (see its docstring). Read at
+# import; interpret mode engages automatically off-TPU so the wiring stays
+# testable on the CPU suite.
+_PALLAS_GRAM = os.environ.get("BOBE_TPU_PALLAS_GRAM", "0") == "1"
+try:
+    import jax
+
+    _PALLAS_INTERPRET = jax.default_backend() != "tpu"
+except Exception:  # pragma: no cover
+    _PALLAS_INTERPRET = True
 
 
 def sq_dist(xa, xb):
@@ -89,7 +101,21 @@ def gram_masked(name, x, mask, lengthscales, kernel_variance, noise):
     x: (cap, d) padded inputs; mask: (cap,) 1.0 for active rows.
     Returns K with K[active,active] = k(x,x) + noise*I, K[pad,pad] = I,
     and zero cross blocks. Its Cholesky is [[L_active, 0], [0, I]].
+
+    BOBE_TPU_PALLAS_GRAM=1 routes eligible f32 builds through the fused
+    single-launch Pallas kernel (ops/pallas_gram.py). Measured at speed
+    PARITY with this XLA version on TPU v5e (0.68-0.76 ms at cap 512-1024,
+    ratio 0.92-1.03x — XLA already fuses the distance matmul + nonlinearity
+    + masking; both are dispatch-latency-bound at these caps), so it is an
+    optional backend, not the default.
     """
+    if (_PALLAS_GRAM and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
+            and x.shape[0] <= 1024 and x.shape[1] <= 128):
+        from .pallas_gram import gram_masked_pallas
+
+        return gram_masked_pallas(name, x, mask, lengthscales,
+                                  kernel_variance, noise,
+                                  interpret=_PALLAS_INTERPRET)
     k = cross_kernel(name, x, x, lengthscales, kernel_variance)
     mm = mask[:, None] * mask[None, :]
     eye = jnp.eye(x.shape[0], dtype=k.dtype)

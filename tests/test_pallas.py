@@ -24,3 +24,20 @@ def test_pallas_gram_matches_xla(name):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
     # pad block identity
     np.testing.assert_allclose(got[n:, n:], np.eye(cap - n), atol=2e-6)
+
+
+def test_gram_masked_dispatches_to_pallas(monkeypatch):
+    """Production wiring: with BOBE_TPU_PALLAS_GRAM the padded Gram builder
+    routes eligible f32 builds through the fused Pallas kernel (interpret
+    mode off-TPU) and matches the XLA build."""
+    monkeypatch.setattr(kr, "_PALLAS_GRAM", True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(128, 4)), dtype=jnp.float32)
+    mask = jnp.asarray((np.arange(128) < 100).astype(np.float32))
+    ls = jnp.asarray(np.full(4, 0.4), dtype=jnp.float32)
+    got = np.asarray(kr.gram_masked("rbf", x, mask, ls,
+                                    jnp.float32(1.5), jnp.float32(1e-6)))
+    monkeypatch.setattr(kr, "_PALLAS_GRAM", False)
+    want = np.asarray(kr.gram_masked("rbf", x, mask, ls,
+                                     jnp.float32(1.5), jnp.float32(1e-6)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
