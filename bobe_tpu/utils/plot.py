@@ -44,6 +44,7 @@ def plot_final_samples(results_manager, gp=None, filename: Optional[str] = None,
     d = len(names)
     samples, weights = rm.final_samples, rm.final_weights
 
+    axes2d = None  # (d, d) lower-triangle axes for the training-point overlay
     try:
         from getdist import plots
 
@@ -51,6 +52,7 @@ def plot_final_samples(results_manager, gp=None, filename: Optional[str] = None,
         g = plots.get_subplot_plotter(subplot_size=2.0)
         g.triangle_plot([mcs], filled=True)
         fig = g.fig
+        axes2d = np.asarray(g.subplots, dtype=object)  # None above diagonal
     except ImportError:
         fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
         axes = np.atleast_2d(axes)
@@ -71,19 +73,22 @@ def plot_final_samples(results_manager, gp=None, filename: Optional[str] = None,
                 if j == 0:
                     ax.set_ylabel(names[i])
         fig.tight_layout()
+        axes2d = axes
 
-    if show_training_points and gp is not None and rm.param_bounds is not None:
+    if (show_training_points and gp is not None
+            and rm.param_bounds is not None and axes2d is not None):
+        # overlay the GP training points on every off-diagonal panel
+        # (reference plot.py:50; round 2 silently skipped this whenever
+        # getdist WAS installed)
         from .core import scale_from_unit
 
         pts = scale_from_unit(np.asarray(gp.train_x), rm.param_bounds)
         for i in range(d):
             for j in range(i):
-                try:
-                    ax = fig.axes[i * d + j] if not _has_getdist() else None
-                except Exception:
-                    ax = None
+                ax = axes2d[i][j]
                 if ax is not None:
-                    ax.scatter(pts[:, j], pts[:, i], s=4, c="red", alpha=0.6)
+                    ax.scatter(pts[:, j], pts[:, i], s=4, c="red", alpha=0.6,
+                               zorder=10)
 
     if filename:
         fig.savefig(filename, bbox_inches="tight", dpi=120)
@@ -281,13 +286,54 @@ class BOBESummaryPlotter:
         fig.tight_layout()
         return self._finish(fig, "dashboard", save)
 
+    def plot_stats_panel(self, save=True):
+        """Key run statistics as a text panel (reference plot.py:826)."""
+        plt = _plt()
+        rm = self.rm
+        lines = [f"Likelihood: {rm.likelihood_name}",
+                 f"Dimensions: {len(rm.param_names)}D"]
+        gp_info = getattr(rm, "gp_info", {}) or {}
+        gp_size = gp_info.get("gp_training_set_size", "N/A")
+        lines.append(f"GP size: {gp_size}")
+        if gp_info.get("classifier_used"):
+            lines.append(f"Classifier: {gp_info.get('classifier_type', '?')}")
+            total = gp_info.get("classifier_training_set_size", "N/A")
+        else:
+            lines.append("Classifier: No")
+            total = gp_size
+        lines.append(f"Total evaluations: {total}")
+        logz = getattr(rm, "final_logz", None) or {}
+        mean = logz.get("mean")
+        if mean is not None and np.isfinite(mean):
+            err = logz.get("std")
+            if err is None and "upper" in logz and "lower" in logz:
+                err = (logz["upper"] - logz["lower"]) / 2.0
+            lines.append(f"log Z = {mean:.4f}"
+                         + (f" ± {err:.4f}" if err is not None else ""))
+        t = self.rm.get_timing_summary()
+        total_rt = t.get("total_runtime", 0.0)
+        if total_rt > 0:
+            rt = (f"{total_rt / 3600:.2f} h" if total_rt > 3600
+                  else f"{total_rt:.1f} s")
+            lines.append(f"Runtime: {rt}")
+        lines.append(f"Converged: {'Yes' if rm.converged else 'No'}")
+        lines.append(f"Termination: {rm.termination_reason}")
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.text(0.08, 0.95, "\n".join(lines), transform=ax.transAxes,
+                fontsize=11, verticalalignment="top", family="monospace",
+                bbox=dict(boxstyle="round,pad=0.4", facecolor="#EAF2FA"))
+        ax.axis("off")
+        ax.set_title("Run summary")
+        return self._finish(fig, "stats", save)
+
     def save_all_plots(self):
         out = []
         for fn in (self.plot_evidence_evolution, self.plot_lengthscales,
                    self.plot_kernel_variance, self.plot_best_loglike,
                    self.plot_acquisition, self.plot_timing_breakdown,
                    self.plot_convergence, self.plot_kl_divergence,
-                   self.plot_parameter_evolution, self.plot_dashboard):
+                   self.plot_parameter_evolution, self.plot_stats_panel,
+                   self.plot_dashboard):
             try:
                 p = fn(save=True)
                 if p:

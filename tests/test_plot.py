@@ -37,9 +37,20 @@ def populated_rm(tmp_path):
 def test_all_plots_render(populated_rm, tmp_path):
     plotter = BOBESummaryPlotter(populated_rm)
     paths = plotter.save_all_plots()
-    assert len(paths) == 10, paths
+    assert len(paths) == 11, paths
     for p in paths:
         assert os.path.exists(p)
+
+
+def test_stats_panel(populated_rm):
+    populated_rm.converged = True
+    populated_rm.termination_reason = "logz_delta"
+    populated_rm.final_logz = {"mean": -3.2, "upper": -3.1, "lower": -3.3}
+    populated_rm.gp_info = {"gp_training_set_size": 42,
+                            "classifier_used": False}
+    plotter = BOBESummaryPlotter(populated_rm)
+    p = plotter.plot_stats_panel(save=True)
+    assert p and os.path.exists(p)
 
 
 def test_triangle_plot(populated_rm, tmp_path):
@@ -48,6 +59,27 @@ def test_triangle_plot(populated_rm, tmp_path):
     assert os.path.exists(fn)
 
 
+def test_triangle_plot_training_overlay(populated_rm, tmp_path):
+    """Training points must be drawn on the off-diagonal panels regardless
+    of whether getdist is installed (reference plot.py:50)."""
+
+    class FakeGP:
+        train_x = np.random.default_rng(1).uniform(size=(20, 2))
+
+    fig = plot_final_samples(populated_rm, gp=FakeGP(), filename=None,
+                             show_training_points=True)
+    assert fig is not None
+    # find a scatter (PathCollection) with exactly 20 offsets on some axis
+    n_overlay = sum(
+        1 for ax in fig.axes for coll in ax.collections
+        if getattr(coll, "get_offsets", None) is not None
+        and len(coll.get_offsets()) == 20)
+    assert n_overlay >= 1, "training-point overlay missing"
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def test_create_summary_plots(populated_rm):
     out = create_summary_plots(populated_rm)
-    assert len(out) >= 10
+    assert len(out) >= 11
