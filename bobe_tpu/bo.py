@@ -634,7 +634,7 @@ class BOBE:
                 self.results_manager.start_timing("Nested Sampling")
                 ns_samples, logz_dict, ns_success = nested_sampling(
                     gp=self.gp, mode="convergence", dlogz=0.01,
-                    maxcall=int(5e6), equal_weights=False, rng=self.np_rng)
+                    equal_weights=False, rng=self.np_rng)
                 self.results_manager.end_timing("Nested Sampling")
                 logz_str = ", ".join(f"{k}={logz_dict[k]:.4f}"
                                      for k in logz_keys if k in logz_dict)
@@ -710,7 +710,7 @@ class BOBE:
             # static pass, matching the reference's final dynesty
             # DynamicNestedSampler run (reference bo.py:1346-1367)
             self.ns_samples, logz_dict, ns_success = nested_sampling(
-                gp=self.gp, mode="convergence", dlogz=0.01, maxcall=int(5e6),
+                gp=self.gp, mode="convergence", dlogz=0.01,
                 dynamic=True, rng=self.np_rng)
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(

@@ -183,7 +183,9 @@ class GPwithClassifier(GP):
             log.debug(f"GP subset rebuilt: clf size {self.clf_data_size}, "
                       f"gp size {super().npoints}")
         elif np.any(add_mask):
-            super().update(jnp.asarray(new_x[add_mask]), jnp.asarray(new_y[add_mask]))
+            # pass host numpy straight through: GP.update keeps its host
+            # mirror in sync from these without a device round-trip
+            super().update(new_x[add_mask], new_y[add_mask])
 
     def _rebuild(self, x_gp, y_gp):
         fresh = GP(train_x=jnp.asarray(x_gp), train_y=jnp.asarray(y_gp),
@@ -198,6 +200,7 @@ class GPwithClassifier(GP):
                    tausq=self.tausq, tausq_bounds=self.cfg.tausq_bounds,
                    param_names=self.param_names)
         self.state = fresh.state
+        self._host_x, self._host_y = fresh._host_x, fresh._host_y
 
     # -------------------------------------------------------- random points
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 from functools import lru_cache, partial
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -385,13 +385,87 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
     return jax.jit(run)
 
 
+def _route_f64_to_host() -> bool:
+    """True when f64 hyperparameter fits should run on the host CPU backend.
+
+    On TPU, float64 is XLA-emulated and an L-BFGS step on the MLL costs
+    ~400 ms even at cap 128 (measured round 3); the host factors the same
+    problem natively in milliseconds. Opt out with BOBE_TPU_HOST_F64_FIT=0.
+    """
+    import os
+
+    if os.environ.get("BOBE_TPU_HOST_F64_FIT", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu" and bool(jax.devices("cpu"))
+    except RuntimeError:  # no CPU backend registered
+        return False
+
+
+def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
+                  optimizer: str, x0,
+                  host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                  ) -> Tuple[np.ndarray, float]:
+    """Run the f64 neg-MLL restarts on the host CPU backend.
+
+    Only (x, y_raw, n, y_mean, y_std) feed the MLL; chol/alpha are rebuilt on
+    the accelerator afterwards by set_hyperparams. With ``host_xy`` (the GP
+    facade's host mirror of the training data) the ONLY device fetch is one
+    bundled hyperparameter/x0 read — device->host round-trips are
+    latency-priced on tunneled TPU setups, and even a few per fit dominate
+    the millisecond host solve. Reuses _fit_core so the objective cannot
+    drift from the device pipeline (the host run's returned state is
+    discarded; only the hyperparameters travel back).
+    """
+    cpu = jax.devices("cpu")[0]
+    cap = state.x.shape[0]
+    log_ls, log_amp, log_tausq, x0_np = jax.device_get(
+        [state.log_ls, state.log_amp, state.log_tausq, x0])
+    if host_xy is not None:
+        x_np, y_np = host_xy
+        n = int(x_np.shape[0])
+        x_pad = np.full((cap, d), 0.5, dtype=np.float64)
+        x_pad[:n] = x_np
+        y_pad = np.zeros((cap,), dtype=np.float64)
+        y_pad[:n] = y_np
+        # host replica of _standardize over the active rows
+        n_f = max(n, 1)
+        y_mean = float(y_np.sum() / n_f)
+        y_std = float(np.sqrt(((y_np - y_mean) ** 2).sum() / n_f))
+        y_std = 1.0 if y_std == 0.0 else y_std
+    else:
+        x_pad, y_pad, n, y_mean, y_std = jax.device_get(
+            [state.x, state.y_raw, state.n, state.y_mean, state.y_std])
+        n = int(n)
+    with jax.default_device(cpu):
+        host_state = GPState(
+            x=jnp.asarray(x_pad, dtype=jnp.float64),
+            y_raw=jnp.asarray(y_pad, dtype=jnp.float64),
+            n=jnp.asarray(n, dtype=jnp.int32),
+            chol=jnp.eye(cap, dtype=jnp.float64),
+            alpha=jnp.zeros((cap,), dtype=jnp.float64),
+            log_ls=jnp.asarray(log_ls),
+            log_amp=jnp.asarray(log_amp),
+            log_tausq=jnp.asarray(log_tausq),
+            y_mean=jnp.asarray(y_mean, dtype=jnp.float64),
+            y_std=jnp.asarray(y_std, dtype=jnp.float64),
+        )
+        x0_host = jnp.asarray(x0_np)
+        run = _fit_core(cfg, d, maxiter, optimizer, fit_dtype="float64")
+        _, best_log, best_f = run(host_state, x0_host)
+        return np.asarray(best_log), float(best_f)
+
+
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
-        n_restarts: int = 4, rng=None, optimizer: str = "lbfgs"):
+        n_restarts: int = 4, rng=None, optimizer: str = "lbfgs",
+        host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None):
     """Optimize hyperparameters from multi-restart x0 (log space).
 
     Restart seeding matches the reference pool (current hyperparams + uniform
     draws inside the log bounds, pool.py:276-285), but all restarts run as
     vmapped lanes of one device optimizer instead of MPI ranks.
+    ``host_xy``: optional host-side (x, y) mirror of the active training rows
+    (see GP facade) — lets host-routed f64 fits skip device fetches.
     Returns (new_state, info dict with 'mll' and 'params').
     """
     d = state.ndim
@@ -427,6 +501,18 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # clock AND |dlogZ| on the planck-like parity run (config.py,
         # BENCH_NOTES round 2)
         fit_dtype = "float64"
+    if fit_dtype == "float64" and _route_f64_to_host():
+        # TPU f64 is XLA-EMULATED and ~400 ms per L-BFGS step even at cap
+        # 128 (measured, BENCH_NOTES round 3: a 40-iter f64 polish cost more
+        # than the whole f32 fit x100). The host CPU factors these tiny f64
+        # problems natively in milliseconds, and the fit only needs
+        # (x, y, n, hyperparams) — a few-KB transfer. This is the TPU-native
+        # split: bulk f32 linear algebra on the MXU, tiny serial f64 on the
+        # host.
+        best_log, best_f = _fit_f64_host(state, cfg, d, int(maxiter),
+                                         optimizer, x0, host_xy=host_xy)
+        new_state = set_hyperparams(state, cfg, jnp.asarray(best_log))
+        return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
     run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
     new_state, best_log, best_f = run(state, x0)
     if (fit_dtype == "float32" and optimizer == "lbfgs"
@@ -438,9 +524,15 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # (measured +0.18 logZ bias on the planck-like toy, BENCH_NOTES).
         # Reuses _fit_core with a single-row x0 so the polish can never
         # drift from the main fit pipeline.
-        pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
-                        fit_dtype="float64")
-        new_state, best_log, best_f = pol(state, best_log[None, :])
+        if _route_f64_to_host():
+            best_log, best_f = _fit_f64_host(
+                state, cfg, d, int(config.fit_polish_iters()), optimizer,
+                jnp.asarray(best_log)[None, :], host_xy=host_xy)
+            new_state = set_hyperparams(state, cfg, jnp.asarray(best_log))
+        else:
+            pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
+                            fit_dtype="float64")
+            new_state, best_log, best_f = pol(state, best_log[None, :])
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 
 
@@ -455,6 +547,11 @@ class GP:
     manages capacity growth and numpy<->device marshalling.
     """
 
+    # class-level defaults so __new__-constructed instances degrade to the
+    # device-fetch path instead of raising
+    _host_x = None
+    _host_y = None
+
     def __init__(self, train_x, train_y, noise=1e-8, kernel="rbf",
                  optimizer="lbfgs", optimizer_options=None,
                  kernel_variance_bounds=(1e-4, 1e8), lengthscale_bounds=(0.01, 5),
@@ -462,8 +559,12 @@ class GP:
                  kernel_variance_prior=None, lengthscale_prior=None,
                  tausq=None, tausq_bounds=(1e-4, 1e4),
                  param_names: Optional[List[str]] = None):
-        train_x = jnp.atleast_2d(jnp.asarray(train_x, dtype=jnp.float64))
-        train_y = jnp.asarray(train_y, dtype=jnp.float64).reshape(-1)
+        # numpy first: host-origin data stays host-side for the mirror (no
+        # device round-trip); device copies are made once below
+        train_x_np = np.atleast_2d(np.asarray(train_x, dtype=np.float64))
+        train_y_np = np.asarray(train_y, dtype=np.float64).reshape(-1)
+        train_x = jnp.asarray(train_x_np)
+        train_y = jnp.asarray(train_y_np)
         if train_x.shape[0] != train_y.shape[0]:
             raise ValueError("train_x and train_y must have the same number of points")
         d = train_x.shape[1]
@@ -508,6 +609,45 @@ class GP:
             y_std=jnp.asarray(1.0, dtype=jnp.float64),
         )
         self.state = _refresh_jit(self.state, self.cfg)
+        # host mirror of the ACTIVE training rows: lets host-routed f64 fits
+        # run without device fetches (device->host round-trips are
+        # latency-priced on tunneled TPUs). Maintained by update() with the
+        # exact dedupe replica of extend(); invalidated (None) if it cannot
+        # be kept in sync.
+        self._host_x = train_x_np.copy()
+        self._host_y = train_y_np.copy()
+
+    def _mirror_extend(self, new_x: np.ndarray, new_y: np.ndarray):
+        """Append accepted rows to the host mirror — the same dedupe formula
+        as extend() on identical f64 host-origin values, so the mirror stays
+        bit-equal to the device active rows."""
+        if self._host_x is None:
+            return
+        b = new_x.shape[0]
+        if self._host_x.size:
+            close = np.isclose(self._host_x[None, :, :], new_x[:, None, :],
+                               atol=DEDUP_ATOL, rtol=DEDUP_RTOL)
+            dup = np.any(np.all(close, axis=-1), axis=1)
+        else:
+            dup = np.zeros(b, dtype=bool)
+        close_nn = np.all(np.isclose(new_x[:, None, :], new_x[None, :, :],
+                                     atol=DEDUP_ATOL, rtol=DEDUP_RTOL), axis=-1)
+        earlier = np.tril(np.ones((b, b), dtype=bool), k=-1)
+        dup_batch = np.any(close_nn & earlier, axis=1)
+        accept = ~(dup | dup_batch)
+        self._host_x = np.vstack([self._host_x, new_x[accept]])
+        self._host_y = np.concatenate([self._host_y, new_y[accept]])
+
+    def _host_mirror(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """The (x, y) mirror when provably in sync with the device state
+        (row-count check costs one scalar fetch), else None."""
+        if self._host_x is None:
+            return None
+        if len(self._host_y) != int(self.state.n):
+            log.debug("host mirror out of sync with device state; "
+                      "falling back to device fetch for the f64 fit")
+            return None
+        return self._host_x, self._host_y
 
     # ------------------------------------------------------------- properties
 
@@ -645,10 +785,12 @@ class GP:
 
     def update(self, new_x, new_y):
         """Add points (dedupe + incremental Cholesky extension)."""
-        new_x = jnp.atleast_2d(jnp.asarray(new_x, dtype=jnp.float64))
-        new_y = jnp.asarray(new_y, dtype=jnp.float64).reshape(-1)
-        self._grow_to(self.gp_size + new_x.shape[0])
-        self.state = _extend_jit(self.state, self.cfg, new_x, new_y)
+        new_x_np = np.atleast_2d(np.asarray(new_x, dtype=np.float64))
+        new_y_np = np.asarray(new_y, dtype=np.float64).reshape(-1)
+        self._mirror_extend(new_x_np, new_y_np)
+        self._grow_to(self.gp_size + new_x_np.shape[0])
+        self.state = _extend_jit(self.state, self.cfg,
+                                 jnp.asarray(new_x_np), jnp.asarray(new_y_np))
 
     def recompute_cholesky(self):
         self.state = _refresh_jit(self.state, self.cfg)
@@ -659,7 +801,8 @@ class GP:
             n_restarts = x0.shape[0]
         self.state, info = fit(self.state, self.cfg, x0=x0, maxiter=maxiter,
                                n_restarts=n_restarts, rng=rng,
-                               optimizer=self.optimizer_method)
+                               optimizer=self.optimizer_method,
+                               host_xy=self._host_mirror())
         return info
 
     def update_hyperparams(self, log_params):
@@ -807,6 +950,11 @@ class GP:
         gp.optimizer_options = dict(other.optimizer_options)
         gp.cfg = GPTrainConfig(kernel=other.cfg.kernel, noise=other.cfg.noise)
         gp.state = other.state  # jax arrays are immutable: safe to share
+        if other._host_x is not None:
+            gp._host_x = other._host_x.copy()
+            gp._host_y = other._host_y.copy()
+        else:
+            gp._host_x = gp._host_y = None
         return gp
 
 

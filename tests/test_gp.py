@@ -250,3 +250,58 @@ def test_extend_nan_factor_falls_back_to_refresh():
     np.testing.assert_allclose(np.asarray(predict_mean(healed, gp.cfg, xq)),
                                np.asarray(gp.predict_mean_batched(xq)),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_host_mirror_tracks_device_state():
+    """The host (x, y) mirror must stay bit-equal to the device active rows
+    through updates with duplicates (same dedupe replica), so host-routed
+    f64 fits (models/gp._fit_f64_host) see exactly the device data."""
+    x, y = make_data(12, 3, seed=7)
+    gp = GP(train_x=x, train_y=y)
+    rng = np.random.default_rng(8)
+    for _ in range(4):
+        b = rng.integers(1, 5)
+        nx = rng.uniform(size=(b, 3))
+        ny = -np.sum((nx - 0.4) ** 2, axis=1)
+        # inject an exact duplicate of an existing point and a batch-internal
+        # duplicate to exercise both dedupe branches
+        nx = np.vstack([nx, gp._host_x[0], nx[0]])
+        ny = np.concatenate([ny, [gp._host_y[0]], [ny[0]]])
+        gp.update(nx, ny)
+        mirror = gp._host_mirror()
+        assert mirror is not None
+        mx, my = mirror
+        n = int(gp.state.n)
+        assert len(my) == n
+        np.testing.assert_array_equal(mx, np.asarray(gp.state.x)[:n])
+        np.testing.assert_array_equal(my, np.asarray(gp.state.y_raw)[:n])
+    # a direct state mutation desynchronizes -> mirror reports None
+    gp.state = gp.state._replace(n=gp.state.n + 1)
+    assert gp._host_mirror() is None
+
+
+def test_host_routed_fit_matches_device_fit(monkeypatch):
+    """_fit_f64_host with the mirror must select the same hyperparameters as
+    the on-device f64 fit (identical objective, identical x0)."""
+    from bobe_tpu.models import gp as gpm
+
+    x, y = make_data(40, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    bounds = gpm.hyperparam_bounds_log(gp.cfg, 2)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.uniform(np.asarray(bounds[0]), np.asarray(bounds[1]),
+                                 size=(4, bounds.shape[1])))
+    best_host, f_host = gpm._fit_f64_host(
+        gp.state, gp.cfg, 2, 200, "lbfgs", x0,
+        host_xy=gp._host_mirror())
+    best_fetch, f_fetch = gpm._fit_f64_host(
+        gp.state, gp.cfg, 2, 200, "lbfgs", x0, host_xy=None)
+    run = gpm._fit_core(gp.cfg, 2, 200, "lbfgs", fit_dtype="float64")
+    _, best_dev, f_dev = run(gp.state, x0)
+    # fetch path reuses the device y_mean/y_std -> bit-identical objective
+    np.testing.assert_allclose(best_fetch, np.asarray(best_dev), rtol=1e-10)
+    # mirror path recomputes the standardization host-side: the objective
+    # differs in the last ulp (summation order), so L-BFGS lands ulp-
+    # differently in the same basin — selection-equivalent, not bit-equal
+    np.testing.assert_allclose(best_host, np.asarray(best_dev), rtol=5e-3)
+    assert abs(f_host - float(f_dev)) < 1e-3 * abs(float(f_dev))
