@@ -297,6 +297,7 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         core = _wip_batch_core(gp.cfg, self._use_std, int(n_batch),
                                SWEEP_DTYPE, production_mesh())
         pts, vals = core(gp.state, mc_points)
+        pts, vals = jax.device_get((pts, vals))  # one bundled transfer
         return np.asarray(pts), np.asarray(vals)
 
     def fun(self, x, gp, mc_points=None, k_train_mc=None):
@@ -311,27 +312,32 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         acq_kwargs = dict(acq_kwargs or {})
         mc_samples = acq_kwargs.get("mc_samples")
         mc_points_size = int(acq_kwargs.get("mc_points_size", 128))
-        mc_points = get_mc_points(mc_samples, mc_points_size=mc_points_size,
-                                  rng=rng, gp=gp)
-        mc_points = jnp.asarray(mc_points)
+        mc_np = np.asarray(get_mc_points(mc_samples,
+                                         mc_points_size=mc_points_size,
+                                         rng=rng, gp=gp))
+        mc_points = jnp.asarray(mc_np)
         from .parallel.mesh import production_mesh
 
         sweep = _wip_sweep_core(gp.cfg, self._use_std, SWEEP_DTYPE,
                                 production_mesh())
         acq_vals, V, var = sweep(gp.state, mc_points)
-        i_best = int(jnp.argmin(acq_vals))
-        acq_min = float(acq_vals[i_best])
-        x0 = mc_points[i_best]
+        # one transfer of the (n_mc,) value vector instead of argmin +
+        # per-element fetches (latency-priced round-trips)
+        acq_np = jax.device_get(acq_vals)
+        i_best = int(np.argmin(acq_np))
+        acq_min = float(acq_np[i_best])
+        x0_np = mc_np[i_best]
         log.debug(f"{self.name} min over MC pool: {acq_min:.4e}")
 
         if gp.npoints > REFINE_MAX_N:  # skip polish at large N (reference :400)
-            return np.asarray(x0), acq_min
+            return x0_np, acq_min
 
         refine = _wip_refine_core(gp.cfg, self._use_std, int(maxiter))
-        x, f = refine(gp.state, x0[None, :], mc_points, V, var)
+        x, f = jax.device_get(refine(gp.state, jnp.asarray(x0_np)[None, :],
+                                     mc_points, V, var))
         if float(f) <= acq_min:
             return np.asarray(x), float(f)
-        return np.asarray(x0), acq_min
+        return x0_np, acq_min
 
 
 class WIPV(WeightedIntegratedPosteriorBase):

@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -318,9 +319,12 @@ class BOBE:
             self.n_points_since_last_fit = 0
         self.results_manager.end_timing("GP Training")
 
+        # one bundled device read (iterating a device array fetches per
+        # element — d+1 latency-priced round-trips on tunneled TPUs)
+        hp = jax.device_get({"ls": self.gp.lengthscales,
+                             "amp": self.gp.state.log_amp})
         self.results_manager.update_gp_hyperparams(
-            step, [float(v) for v in self.gp.lengthscales],
-            float(self.gp.kernel_variance))
+            step, [float(v) for v in hp["ls"]], float(np.exp(hp["amp"])))
         if isinstance(self.gp, GPwithClassifier):
             self.results_manager.start_timing("Classifier Training")
             self.gp.train_classifier()
@@ -708,9 +712,19 @@ class BOBE:
             self.results_manager.start_timing("Nested Sampling")
             # dynamic=True: posterior-bulk refinement batch on top of the
             # static pass, matching the reference's final dynesty
-            # DynamicNestedSampler run (reference bo.py:1346-1367)
+            # DynamicNestedSampler run (reference bo.py:1346-1367). The
+            # reported evidence should not be floored by NS sampler noise
+            # even on budget-capped (unconverged) exits, so boost nlive the
+            # same way the post-convergence final-precision pass does, using
+            # the last convergence NS's measured sampler error.
+            from .samplers import ns_settings
+            dlogz_s = float(self.results_dict.get("logz", {}).get(
+                "dlogz_sampler", 0.0))
+            boost = int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
+                                1, 8)) if dlogz_s > 0 else 2
             self.ns_samples, logz_dict, ns_success = nested_sampling(
                 gp=self.gp, mode="convergence", dlogz=0.01,
+                nlive=boost * ns_settings("convergence", self.ndim)[0],
                 dynamic=True, rng=self.np_rng)
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(

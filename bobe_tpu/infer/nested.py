@@ -265,6 +265,12 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
         int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall),
         mesh)
 
+    # one bundled device->host transfer for all result buffers (serial
+    # per-array fetches are latency-priced on tunneled TPUs)
+    (dead_x, dead_logl, dead_lv, live_x, live_logl, n_dead, logvol,
+     n_iter, calls) = jax.device_get(
+        (dead_x, dead_logl, dead_lv, live_x, live_logl, n_dead, logvol,
+         n_iter, calls))
     n_dead = int(n_dead)
     dead_x = np.asarray(dead_x)[:n_dead]
     dead_logl = np.asarray(dead_logl)[:n_dead]

@@ -154,12 +154,14 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     dlogz = dlogz if dlogz is not None else dlogz_default
     if mode == "acq":
         equal_weights = True
-    elif "n_repeats" not in ns_kwargs and ndim > 16:
-        # High-d decorrelation: at d=30 the 1.5d slice repeats leave the
-        # replacements correlated with their clone parents and logZ biased
-        # up to +0.4 (measured on the TRUE 30-d Gaussian; 3d repeats bring
-        # the 5-seed mean to -0.03, BENCH_NOTES round 3). The acq-mode pool
-        # refresh keeps the cheap default — the WIP average is insensitive.
+    elif "n_repeats" not in ns_kwargs and ndim >= 10:
+        # High-d decorrelation: at 1.5d slice repeats the replacements stay
+        # correlated with their clone parents and logZ is biased up to +0.4
+        # at d=30 and +0.24 at d=15 (measured on TRUE analytic targets —
+        # Gaussian and planck-like; 3d repeats bring the multi-seed means to
+        # ~-0.03, BENCH_NOTES round 3; d=8 is unbiased at 1.5d). The
+        # acq-mode pool refresh keeps the cheap default — the WIP average is
+        # insensitive.
         ns_kwargs["n_repeats"] = int(np.ceil(3.0 * ndim))
     if maxcall is None:
         # the call budget must scale with the work a converged run actually
@@ -395,19 +397,21 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                              float(getattr(gp, "probability_threshold", 0.0)),
                              float(getattr(gp, "minus_inf", 0.0)),
                              getattr(gp, "clf_type", "") if clf is not None else "")
-    logp_mean = np.asarray(mean_apply(ctx, xs))
-
-    xs = np.asarray(xs)
+    # ONE bundled transfer for every host-bound array: device->host round
+    # trips are latency-priced (tunneled TPU: seconds each when degraded),
+    # and the refresh runs every BO iteration
+    f = jax.device_get({
+        "xs": xs, "logp": mean_apply(ctx, xs),
+        "diag": {k: v for k, v in diag.items()
+                 if k in ("mean_accept", "n_divergent", "step_size")},
+        "warm": {k: diag[k]
+                 for k in ("step_size", "mass_inv", "mass_chol", "last_z")}})
+    xs, logp_mean = f["xs"], f["logp"]
     out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
            "method": "MCMC",
-           "diagnostics": {k: np.asarray(v)
-                           for k, v in diag.items()
-                           if k in ("mean_accept", "n_divergent", "step_size")},
+           "diagnostics": f["diag"],
            "warm_state": {
-               "step_size": np.asarray(diag["step_size"]),
-               "mass_inv": np.asarray(diag["mass_inv"]),
-               "mass_chol": np.asarray(diag["mass_chol"]),
-               "last_z": np.asarray(diag["last_z"]),
+               **f["warm"],
                "num_chains": num_chains, "ndim": gp.ndim, "kind": "nuts",
                "dense_mass": bool(dense_mass), "temp": float(temp)}}
     log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
@@ -514,20 +518,23 @@ def sample_gp_ensemble(gp, np_rng=None, rng_key=None, num_chains: int = 64,
                              float(getattr(gp, "probability_threshold", 0.0)),
                              float(getattr(gp, "minus_inf", 0.0)),
                              getattr(gp, "clf_type", "") if clf is not None else "")
-    logp_mean = np.asarray(mean_apply(ctx, xs))
-    xs = np.asarray(xs)
+    # ONE bundled transfer (see sample_gp_nuts): this refresh runs every BO
+    # iteration and serial per-array fetches are latency-priced
+    f = jax.device_get({
+        "xs": xs, "logp": mean_apply(ctx, xs),
+        "diag": {k: v for k, v in diag.items()
+                 if k in ("mean_accept", "n_divergent", "step_size")},
+        "warm": {k: diag[k]
+                 for k in ("step_size", "mass_inv", "mass_chol", "last_z")}})
+    xs, logp_mean = f["xs"], f["logp"]
     out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
            "method": "MCMC",
-           "diagnostics": {k: np.asarray(v) for k, v in diag.items()
-                           if k in ("mean_accept", "n_divergent", "step_size")},
+           "diagnostics": f["diag"],
            "warm_state": {
                "kind": "ehmc",
-               "step_size": np.asarray(diag["step_size"]),
-               "mass_inv": np.asarray(diag["mass_inv"]),
-               "mass_chol": np.asarray(diag["mass_chol"]),
-               "last_z": np.asarray(diag["last_z"]),
+               **f["warm"],
                "num_chains": nc, "ndim": gp.ndim,
                "dense_mass": bool(dense_mass), "temp": float(temp)}}
-    log.debug(f"EHMC: accept={float(np.asarray(diag['mean_accept'])):.3f}, "
-              f"divergences={int(np.asarray(diag['n_divergent']))}")
+    log.debug(f"EHMC: accept={float(f['diag']['mean_accept']):.3f}, "
+              f"divergences={int(f['diag']['n_divergent'])}")
     return out
