@@ -103,3 +103,33 @@ def test_bobe_clf_path(tmp_path):
 
     assert isinstance(results["gp"], GPwithClassifier)
     assert results["best_val"] > -5.0
+
+
+def test_budget_capped_final_ns_boosts_nlive(tmp_path):
+    """A run that exhausts its budget WITHOUT converging must still report a
+    final dynamic-NS evidence with the nlive boost applied (bo.py: the
+    budget-capped branch mirrors the post-convergence precision pass)."""
+    loglike, bounds, logz_true = toys.make_gaussian(2, sigma=0.15)
+    bobe = BOBE(
+        loglikelihood=loglike,
+        param_list=["a", "b"],
+        param_bounds=bounds,
+        likelihood_name="capped_test",
+        n_sobol_init=16,
+        seed=5,
+        save=False,
+        verbosity="WARNING",
+        pool="serial",
+    )
+    results = bobe.run(acq="wipstd", min_evals=16, max_evals=24,
+                       max_gp_size=24, logz_threshold=1e-4,
+                       convergence_n_iters=3, fit_n_points=4, batch_size=4,
+                       ns_n_points=4, mc_points_size=64, do_final_ns=True)
+    assert results is not None
+    assert results["termination_reason"] in ("Maximum evaluations reached",
+                                             "Maximum GP size reached")
+    logz = results["logz"]
+    assert np.isfinite(logz["mean"])
+    # tiny budget, easy target: the surrogate should still be decent
+    assert abs(logz["mean"] - logz_true) < 1.0, (logz, logz_true)
+    assert len(results["samples"]["x"]) > 0
