@@ -30,7 +30,7 @@ from .models.gp import GP, GPState, GPTrainConfig  # noqa: E402,F401
 from .samplers import nested_sampling, sample_gp_ensemble, sample_gp_nuts  # noqa: E402,F401
 from .utils.results import BOBEResults  # noqa: E402,F401
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "BOBE",
