@@ -385,6 +385,32 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
     return jax.jit(run)
 
 
+@partial(jax.jit, static_argnums=())
+def _loo_z_rms(state: GPState) -> jnp.ndarray:
+    """RMS leave-one-out z-score over the active rows.
+
+    Exact-GP LOO identities from the Cholesky factor: with Kinv = L^-T L^-1,
+    the LOO residual of row i is alpha_i / Kinv_ii and its LOO variance is
+    1 / Kinv_ii (Rasmussen & Williams eq. 5.10-5.12), so the z-score is
+    alpha_i / sqrt(Kinv_ii) — dimensionless (standardized units cancel). A
+    well-calibrated GP gives ~1; >1 means the posterior sd underestimates
+    the actual errors, which makes the logZ GP-sigma bounds over-confident
+    (measured: a planck-like seed declared delta<0.05 while truly off by
+    0.18 — BENCH_NOTES round 3). Pad rows carry alpha=0 and are masked.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    cap = state.x.shape[0]
+    mask = state.mask()
+    Linv = solve_triangular(state.chol, jnp.eye(cap, dtype=state.chol.dtype),
+                            lower=True)
+    kinv_diag = jnp.sum(Linv * Linv, axis=0)
+    z2 = jnp.where(mask > 0, state.alpha**2 / jnp.maximum(kinv_diag, 1e-300),
+                   0.0)
+    n = jnp.maximum(state.n, 1).astype(z2.dtype)
+    return jnp.sqrt(jnp.sum(z2) / n)
+
+
 def _route_f64_to_host() -> bool:
     """True when f64 hyperparameter fits should run on the host CPU backend.
 
@@ -734,6 +760,10 @@ class GP:
     def predict_mean_batched(self, x):
         x = jnp.atleast_2d(x)
         return predict_mean(self.state, self.cfg, x)
+
+    def loo_z_rms(self) -> float:
+        """RMS leave-one-out z-score of the current fit (see _loo_z_rms)."""
+        return float(_loo_z_rms(self.state))
 
     def predict_var_batched(self, x):
         x = jnp.atleast_2d(x)

@@ -205,6 +205,18 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     # ---- evidence + GP-uncertainty bounds (reference samplers.py:172-185)
     var = np.asarray(gp.predict_var_batched(jnp.asarray(res.dead_x)))
     sigma = np.sqrt(np.clip(var, 0.0, None))
+    # LOO calibration: the GP posterior sd can underestimate actual errors
+    # (hyperparameters are point-fit); scale sigma by the RMS leave-one-out
+    # z-score when it exceeds 1 so the reported bounds (and the convergence
+    # delta built from them) keep honest coverage. Never shrink (kappa<1 is
+    # left alone — conservative). Measured trigger: a planck-like seed
+    # declared delta<0.05 while truly off by 0.18 (BENCH_NOTES round 3).
+    # The reference reports raw GP-sigma bounds and shares this failure.
+    if hasattr(gp, "loo_z_rms"):
+        kappa = float(gp.loo_z_rms())
+        if np.isfinite(kappa) and kappa > 1.0:
+            sigma = sigma * min(kappa, 5.0)
+            log.debug(f"LOO calibration: sigma scaled by {min(kappa, 5.0):.2f}")
     logz_dict = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol,
                                                     sigma, lv_start=res.logvol0)
     h, logzerr = integrals.information_and_err(res.dead_logl, res.logvol,

@@ -305,3 +305,24 @@ def test_host_routed_fit_matches_device_fit(monkeypatch):
     # differently in the same basin — selection-equivalent, not bit-equal
     np.testing.assert_allclose(best_host, np.asarray(best_dev), rtol=5e-3)
     assert abs(f_host - float(f_dev)) < 1e-3 * abs(float(f_dev))
+
+
+def test_loo_calibration_detects_overconfidence():
+    """RMS LOO z-score ~ 1 for a well-specified fit; >> 1 when the model is
+    over-confident (mis-specified smoothness with near-zero noise)."""
+    from bobe_tpu.models.gp import _loo_z_rms
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(size=(80, 2))
+    y = np.sin(4 * x[:, 0]) * np.cos(3 * x[:, 1])
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    gp.fit(n_restarts=4, maxiter=200, rng=rng)
+    kappa_fit = gp.loo_z_rms()
+    assert 0.2 < kappa_fit < 3.0, kappa_fit
+
+    # mis-specified: force lengthscales far too long -> residuals dwarf the
+    # (tiny-noise) predicted LOO sd
+    gp_bad = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y),
+                lengthscales=np.full(2, 4.0))
+    kappa_bad = float(_loo_z_rms(gp_bad.state))
+    assert kappa_bad > 5.0, kappa_bad
