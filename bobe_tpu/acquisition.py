@@ -48,8 +48,9 @@ log = get_logger("acq")
 # The WIP sweep stays float64 by default even on TPU: its cost is a single
 # tri-solve + matmul (negligible), while the fantasy-variance cancellation
 # var - cov^2/var loses all relative accuracy in f32 once the GP starts
-# interpolating (posterior variances ~1e-6). Read once at import — this sits
-# on the acquisition hot path.
+# interpolating (posterior variances ~1e-6). Read ONCE at import (this sits
+# on the acquisition hot path): set the env var before `import bobe_tpu`, or
+# assign the module attribute to change it afterwards.
 import os as _os
 
 SWEEP_DTYPE = _os.environ.get("BOBE_TPU_SWEEP_DTYPE", "float64")
@@ -358,8 +359,8 @@ class WIPStd(WeightedIntegratedPosteriorBase):
 # MC sample sources
 # ======================================================================
 
-def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
-                   method="NUTS", num_chains=4, np_rng=None, rng_key=None,
+def get_mc_samples(gp, warmup_steps=None, num_samples=1024, thinning=None,
+                   method="NUTS", num_chains=None, np_rng=None, rng_key=None,
                    warm_state=None):
     """Posterior MC samples of the GP surrogate (reference acquisition.py:468).
 
@@ -367,6 +368,11 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
     persistent chains batched on the MXU, infer/ehmc.py); 'NUTS' -> on-device
     NUTS chains; 'NS' -> on-device vectorized nested sampling (cheap
     settings); 'uniform' -> scrambled Sobol in the unit cube.
+    ``warmup_steps`` / ``thinning`` / ``num_chains`` default to None =
+    method-appropriate defaults (NUTS: dimension-scaled warmup, thinning 4,
+    4 chains; EHMC: 64 chains, short cold warmup, thinning 2) — the two
+    samplers invert the chains-vs-steps trade, so one number cannot serve
+    both. Explicit values are forwarded to whichever sampler runs.
     ``warm_state``: previous NUTS/EHMC call's adapted kernel (see
     samplers.sample_gp_nuts / sample_gp_ensemble) for cheap cross-iteration
     re-warming.
@@ -375,6 +381,9 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
         from .samplers import sample_gp_ensemble
 
         return sample_gp_ensemble(gp, num_samples=num_samples,
+                                  num_chains=num_chains or 64,
+                                  warmup_steps=warmup_steps,
+                                  thinning=thinning,
                                   np_rng=np_rng, rng_key=rng_key,
                                   warm_state=warm_state)
     if method == "NUTS":
@@ -382,7 +391,7 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
 
         return sample_gp_nuts(gp, warmup_steps=warmup_steps,
                               num_samples=num_samples, thinning=thinning,
-                              num_chains=num_chains, np_rng=np_rng,
+                              num_chains=num_chains or 4, np_rng=np_rng,
                               rng_key=rng_key, warm_state=warm_state)
     elif method == "NS":
         from .samplers import nested_sampling
@@ -400,8 +409,10 @@ def get_mc_samples(gp, warmup_steps=512, num_samples=1024, thinning=4,
 
 
 # Mode-balanced pool subsampling (on by default; BOBE_TPU_MODE_BALANCE=0
-# disables). Valley depth (in log-posterior) below which two clusters count
-# as the same mode.
+# disables — like SWEEP_DTYPE, the env var is read ONCE at import, so it
+# must be set before `import bobe_tpu`; change the module attribute to
+# toggle afterwards). Valley depth (in log-posterior) below which two
+# clusters count as the same mode.
 MODE_BALANCE = _os.environ.get("BOBE_TPU_MODE_BALANCE", "1") != "0"
 MODE_VALLEY_DEPTH = 2.0
 

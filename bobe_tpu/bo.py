@@ -474,13 +474,18 @@ class BOBE:
             convergence_n_iters: int = 1, ei_goal: float = 1e-10,
             do_final_ns: bool = False, fit_n_points: int = 10,
             batch_size: int = 4, ns_n_points: int = 10,
-            num_hmc_warmup: int = 512, num_hmc_samples: int = 512,
-            mc_points_size: int = 64, thinning: int = 4, num_chains: int = 4,
+            num_hmc_warmup: Optional[int] = None, num_hmc_samples: int = 512,
+            mc_points_size: int = 64, thinning: Optional[int] = None,
+            num_chains: Optional[int] = None,
             mc_points_method: str = "EHMC", zeta_ei: float = 0.01):
         # mc_points_method: 'EHMC' (default — lockstep ensemble HMC, the
         # TPU-native pool refresh; the reference's NUTS refresh is sequential
         # tree-building that leaves the MXU idle), 'NUTS', 'NS', 'uniform'.
         # Final posterior samples always come from NS (or the NUTS fallback).
+        # num_hmc_warmup / thinning / num_chains: None = method-appropriate
+        # defaults (the two samplers invert the chains-vs-steps trade, so the
+        # reference's NUTS-shaped numbers would mistune EHMC); explicit
+        # values are forwarded to whichever sampler runs.
         if not self.is_main:
             return None
 
@@ -592,6 +597,18 @@ class BOBE:
                 break
         self.current_iteration = ii
 
+    def _ns_boost(self, dlogz_s: float, lo: int) -> int:
+        """nlive multiplier that brings the NS sampler noise down to the logz
+        threshold: noise scales ~ 1/sqrt(nlive), so the factor is the squared
+        noise/threshold ratio. Clipped to [lo, 8] (8 bounds the final pass at
+        ~8x the base NS cost); an unknown noise level (dlogz_s <= 0) gets a
+        conservative 2x. Shared by the post-convergence final-precision pass
+        and the budget-capped do_final_ns exit so the two cannot drift."""
+        if dlogz_s <= 0:
+            return 2
+        return int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
+                           lo, 8))
+
     def _refresh_mc_samples(self):
         self.results_manager.start_timing("MCMC Sampling")
         self.mc_samples = get_mc_samples(
@@ -684,8 +701,7 @@ class BOBE:
             dlogz_s = float(self.results_dict.get("logz", {}).get(
                 "dlogz_sampler", 0.0))
             if dlogz_s > self.logz_threshold:
-                boost = int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
-                                    2, 8))
+                boost = self._ns_boost(dlogz_s, lo=2)
                 from .samplers import ns_settings
                 nlive_conv = ns_settings("convergence", self.ndim)[0]
                 log.info(f"Final-precision NS: nlive {nlive_conv} -> "
@@ -720,8 +736,7 @@ class BOBE:
             from .samplers import ns_settings
             dlogz_s = float(self.results_dict.get("logz", {}).get(
                 "dlogz_sampler", 0.0))
-            boost = int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
-                                1, 8)) if dlogz_s > 0 else 2
+            boost = self._ns_boost(dlogz_s, lo=1)
             self.ns_samples, logz_dict, ns_success = nested_sampling(
                 gp=self.gp, mode="convergence", dlogz=0.01,
                 nlive=boost * ns_settings("convergence", self.ndim)[0],

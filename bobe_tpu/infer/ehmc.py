@@ -45,7 +45,6 @@ from .nuts import (
     _da_update,
     _find_reasonable_eps,
     _kinetic,
-    _leapfrog,
     _mass_from_cov,
     _sample_momentum,
     _warmup_schedule,

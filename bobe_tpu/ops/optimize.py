@@ -66,7 +66,6 @@ def minimize_restarts(
     decrease_factor: float = 0.45,
     max_backtracking_steps: int = 3,
     linesearch_store_grad: bool = False,
-    return_iters: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``fun`` from each row of x0 (R, p); returns (best_x, best_f).
 
@@ -192,13 +191,11 @@ def minimize_restarts(
         it, carry = c
         return it + 1, v_step(carry)
 
-    n_it, carry = lax.while_loop(cond, body, (0, carry0))
+    _, carry = lax.while_loop(cond, body, (0, carry0))
     best_z, best_v = carry["best_z"], carry["best_v"]
     i = jnp.argmin(best_v)
     z_star, f_star = best_z[i], best_v[i]
     x_star = _to_x(z_star, bounds_arr) if bounds_arr is not None else z_star
-    if return_iters:
-        return x_star, f_star, n_it
     return x_star, f_star
 
 

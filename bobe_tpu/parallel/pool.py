@@ -236,8 +236,15 @@ class DistributedPool(EvalPool):
             pass
 
         ok = np.zeros(1)
-        try:
-            if self.rank == 0:
+        # The broadcast + the consensus all-gather below are COLLECTIVES:
+        # every rank must reach both in the same order no matter which local
+        # step fails, or the process group deadlocks. All fallible local work
+        # is therefore wrapped per-branch; rank 0 signals failure by
+        # broadcasting an all-zero wire (port 0) instead of skipping the
+        # broadcast.
+        if self.rank == 0:
+            wire = np.zeros(self._ADDR_BYTES, dtype=np.uint8)
+            try:
                 task_q, result_q = _queue.Queue(), _queue.Queue()
                 _QueueManager.register("task_q", callable=lambda: task_q)
                 _QueueManager.register("result_q", callable=lambda: result_q)
@@ -253,45 +260,54 @@ class DistributedPool(EvalPool):
                     ip = socket.gethostbyname(socket.gethostname())
                 except OSError:
                     ip = "127.0.0.1"
-                wire = np.zeros(self._ADDR_BYTES, dtype=np.uint8)
                 ip_b = ip.encode()[:40]
                 wire[:len(ip_b)] = np.frombuffer(ip_b, dtype=np.uint8)
                 wire[40:44] = np.frombuffer(
                     int(port).to_bytes(4, "little"), dtype=np.uint8)
                 wire[44:60] = np.frombuffer(authkey, dtype=np.uint8)
-                self._bcast(wire)
                 self._queues = (task_q, result_q)
                 ok[0] = 1.0
+            except Exception as e:
+                log.warning(f"task-queue server unavailable ({e}); "
+                            "falling back to static sharding")
+            self._bcast(wire)
+        else:
+            wire = self._bcast(np.zeros(self._ADDR_BYTES, dtype=np.uint8))
+            port = int.from_bytes(bytes(wire[40:44]), "little")
+            if port == 0:
+                log.warning("rank 0 reported no task-queue server; "
+                            "falling back to static sharding")
             else:
-                wire = self._bcast(np.zeros(self._ADDR_BYTES, dtype=np.uint8))
-                ip = bytes(wire[:40]).rstrip(b"\x00").decode()
-                port = int.from_bytes(bytes(wire[40:44]), "little")
-                authkey = bytes(wire[44:60])
-                _QueueManager.register("task_q")
-                _QueueManager.register("result_q")
-                # a worker may land here before rank 0's server thread is up
-                last = None
-                for host in (ip, "127.0.0.1"):
-                    for _ in range(50):
-                        try:
-                            mgr = _QueueManager(address=(host, port),
-                                                authkey=authkey)
-                            mgr.connect()
-                            self._queues = (mgr.task_q(), mgr.result_q())
-                            ok[0] = 1.0
-                            break
-                        except (ConnectionError, OSError) as e:
-                            last = e
-                            import time
+                try:
+                    ip = bytes(wire[:40]).rstrip(b"\x00").decode()
+                    authkey = bytes(wire[44:60])
+                    _QueueManager.register("task_q")
+                    _QueueManager.register("result_q")
+                    # a worker may land here before rank 0's server thread
+                    # is up
+                    last = None
+                    for host in (ip, "127.0.0.1"):
+                        for _ in range(50):
+                            try:
+                                mgr = _QueueManager(address=(host, port),
+                                                    authkey=authkey)
+                                mgr.connect()
+                                self._queues = (mgr.task_q(), mgr.result_q())
+                                ok[0] = 1.0
+                                break
+                            except (ConnectionError, OSError) as e:
+                                last = e
+                                import time
 
-                            time.sleep(0.1)
-                    if ok[0]:
-                        break
-                if not ok[0]:
-                    log.warning(f"task-queue connect failed ({last}); ")
-        except Exception as e:  # any rank failing downgrades every rank
-            log.warning(f"dynamic task queue unavailable ({e}); "
-                        "falling back to static sharding")
+                                time.sleep(0.1)
+                        if ok[0]:
+                            break
+                    if not ok[0]:
+                        log.warning(f"task-queue connect failed ({last}); "
+                                    "falling back to static sharding")
+                except Exception as e:
+                    log.warning(f"dynamic task queue unavailable ({e}); "
+                                "falling back to static sharding")
         # consensus: dynamic only if EVERY rank is wired up
         all_ok = self._allgather_rows(ok)
         return bool(np.all(all_ok == 1.0))

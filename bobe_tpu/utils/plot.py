@@ -96,13 +96,6 @@ def plot_final_samples(results_manager, gp=None, filename: Optional[str] = None,
     return fig
 
 
-def _has_getdist():
-    try:
-        import getdist  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 class BOBESummaryPlotter:

@@ -41,10 +41,8 @@ def main():
         fit_n_points=1,
         batch_size=1,
         ns_n_points=1,
-        num_hmc_warmup=512,
         num_hmc_samples=2048,
         mc_points_size=512,
-        num_chains=4,
         convergence_n_iters=2,
     )
     if results is None:

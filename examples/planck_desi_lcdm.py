@@ -43,8 +43,8 @@ def main():
     results = bobe.run(
         acq="wipstd", min_evals=750, max_evals=2500, max_gp_size=1500,
         logz_threshold=0.25, fit_n_points=10, batch_size=5, ns_n_points=10,
-        num_hmc_warmup=512, num_hmc_samples=4096, mc_points_size=512,
-        num_chains=6, convergence_n_iters=2, do_final_ns=True,
+        num_hmc_samples=4096, mc_points_size=512,
+        convergence_n_iters=2, do_final_ns=True,
     )
     if results is None:
         return

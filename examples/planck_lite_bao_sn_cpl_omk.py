@@ -43,8 +43,8 @@ def main():
     results = bobe.run(
         acq="wipstd", min_evals=400, max_evals=1500, max_gp_size=900,
         logz_threshold=0.5, fit_n_points=20, batch_size=4, ns_n_points=20,
-        num_hmc_warmup=512, num_hmc_samples=2000, mc_points_size=512,
-        num_chains=6, convergence_n_iters=1, do_final_ns=False,
+        num_hmc_samples=2000, mc_points_size=512,
+        convergence_n_iters=1, do_final_ns=False,
     )
     if results is None:
         return

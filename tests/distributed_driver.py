@@ -135,6 +135,31 @@ def main():
                 print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
         return
 
+    if mode == "serverfail":
+        # Regression: a rank-0 task-queue server failure (restricted sockets)
+        # must downgrade EVERY rank to static sharding — rank 0 still has to
+        # broadcast the (all-zero) wire so the collectives stay aligned; the
+        # original code skipped the broadcast and deadlocked the group.
+        if rank == 0:
+            from multiprocessing.managers import BaseManager
+
+            def _boom(self):
+                raise RuntimeError("test-injected server failure")
+
+            BaseManager.get_server = _boom
+        pool = DistributedPool()
+        assert not pool._dyn, "expected static fallback after server failure"
+        if pool.is_main_process:
+            pts = np.random.default_rng(2).uniform(size=(5, 2))
+            vals = pool.run_map_objective(lk, pts)
+            assert np.allclose(vals, [quad(p) for p in pts])
+            pool.close()
+            print("SERVERFAIL_FALLBACK_OK", flush=True)
+        else:
+            pool.worker_loop(lk)
+            print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
+        return
+
     raise SystemExit(f"unknown mode {mode}")
 
 

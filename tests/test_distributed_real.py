@@ -73,6 +73,19 @@ def test_bobe_ei_loop_under_real_group():
     assert "WORKER_CLEAN_EXIT_1" in out1
 
 
+def test_server_failure_falls_back_to_static_sharding():
+    """A rank-0 task-queue server failure must downgrade the whole group to
+    static sharding (the advertised fallback), not deadlock the broadcast /
+    all-gather rendezvous."""
+    outs = _launch_group("serverfail", 2, timeout=420)
+    rc0, out0, err0 = outs[0]
+    assert rc0 == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert "SERVERFAIL_FALLBACK_OK" in out0
+    rc1, out1, err1 = outs[1]
+    assert rc1 == 0, f"rank1 failed:\n{err1[-3000:]}"
+    assert "WORKER_CLEAN_EXIT_1" in out1
+
+
 def test_dynamic_scheduling_heterogeneous_cost():
     """Greedy dynamic scheduling must load-balance heterogeneous evaluation
     times (the reference's send-one/recv-any farm, pool.py:143-206): a batch

@@ -106,3 +106,21 @@ def test_get_mc_samples_ehmc_dispatch():
     assert out["x"].shape[0] >= 256
     assert np.all((out["x"] >= 0) & (out["x"] <= 1))
     assert out["warm_state"]["kind"] == "ehmc"
+    # method defaults apply when the tuning knobs are left None
+    assert out["warm_state"]["num_chains"] == 64
+
+
+def test_get_mc_samples_forwards_tuning_to_ehmc():
+    """Explicit num_chains/warmup_steps/thinning must reach the ensemble
+    sampler (regression: they used to be silently dropped, making
+    BOBE.run(num_chains=...) a no-op under the default EHMC refresh)."""
+    from bobe_tpu.acquisition import get_mc_samples
+
+    gp = _make_gp(seed=3, n=40)
+    out = get_mc_samples(gp, method="EHMC", num_samples=256, num_chains=16,
+                         warmup_steps=32, thinning=1,
+                         np_rng=np.random.default_rng(3),
+                         rng_key=jax.random.PRNGKey(12))
+    assert out["warm_state"]["num_chains"] == 16
+    assert out["warm_state"]["last_z"].shape[0] == 16
+    assert out["x"].shape[0] >= 256
