@@ -330,6 +330,16 @@ class BOBE:
             self.gp.train_classifier()
             self.results_manager.end_timing("Classifier Training")
 
+        # near a capacity-bucket crossing, compile the next bucket's graphs
+        # in the background before the growth stalls the loop (one trigger
+        # per bucket; no-op when prewarm is disabled or growth impossible)
+        cap = self.gp.state.x.shape[0]
+        if (getattr(self, "_prewarmer", None) is not None
+                and cap > self._bucket_warmed_cap):
+            from .utils import prewarm as _prewarm
+            if _prewarm.prewarm_next_bucket(self) is not None:
+                self._bucket_warmed_cap = cap
+
     def get_next_batch(self, acq_kwargs, n_batch, n_restarts, maxiter,
                        early_stop_patience, step, verbose=True):
         self.results_manager.start_timing("Acquisition Optimization")
@@ -549,6 +559,16 @@ class BOBE:
             "zeta_ei": zeta_ei})
 
         acqs = [acq] if isinstance(acq, str) else list(acq)
+
+        # cold-start pipelining: compile every first-iteration graph in
+        # background threads while the main thread proceeds — cold-process
+        # walls on tunneled TPUs are dominated by serial compile-cache loads
+        # (utils/prewarm.py; BOBE_TPU_PREWARM=0 disables)
+        from .utils import prewarm as _prewarm
+        self._prewarmer = (_prewarm.prewarm_run(self, acqs)
+                           if _prewarm.prewarm_enabled() else None)
+        self._bucket_warmed_cap = 0
+
         self.current_iteration = self.start_iteration
         for a in acqs:
             if a.lower() not in _ACQ_FUNCS:
@@ -707,10 +727,19 @@ class BOBE:
                 log.info(f"Final-precision NS: nlive {nlive_conv} -> "
                          f"{boost * nlive_conv} (sampler noise {dlogz_s:.3f} "
                          f"> threshold {self.logz_threshold})")
+                # merge with the convergence NS that just succeeded: same GP
+                # state (convergence can only flip inside the ns_flag branch,
+                # after which nothing updates the GP), so the dead points are
+                # exchangeable and the reported evidence uses ALL the NS work
+                # instead of discarding the earlier pass (which could land a
+                # fresh-noise estimate FARTHER from truth than the one it
+                # replaced — observed on a banana seed: -3.13 -> -3.29)
+                prior_raw = (self.ns_samples or {}).get("raw")
                 self.results_manager.start_timing("Nested Sampling")
                 ns_samples, logz_dict, ok = nested_sampling(
                     gp=self.gp, mode="convergence", dlogz=0.01,
                     nlive=boost * nlive_conv,
+                    merge_with=[prior_raw] if prior_raw is not None else None,
                     equal_weights=False, rng=self.np_rng)
                 self.results_manager.end_timing("Nested Sampling")
                 if ok:

@@ -49,12 +49,22 @@ def logwt_from(logl, logvol, lv_start: float = 0.0):
 
 
 def information_and_err(logl, logvol, logz, nlive, lv_start: float = 0.0):
-    """KL information H and the classic logZ error sqrt(H / nlive)."""
+    """KL information H and the classic logZ error sqrt(H / nlive).
+
+    ``nlive`` may be a scalar (static run) or a per-death live-count array
+    (merged / dynamic runs, infer/nested.merge_runs): the error then sums the
+    per-point information increments h_i / n_i — the varying-live-count
+    generalization that reduces to H/nlive for constant counts. Negative
+    early increments are clipped to zero per point (slightly conservative)."""
     logwt = logwt_from(logl, logvol, lv_start=lv_start)
     wt = np.exp(logwt - logz)
-    h = np.sum(wt * (np.asarray(logl) - logz))
-    h = max(h, 0.0)
-    return h, float(np.sqrt(h / max(nlive, 1)))
+    h_i = wt * (np.asarray(logl) - logz)
+    h = max(float(np.sum(h_i)), 0.0)
+    n = np.asarray(nlive, dtype=np.float64)
+    if n.ndim == 0:
+        return h, float(np.sqrt(h / max(float(n), 1.0)))
+    var = float(np.sum(np.clip(h_i, 0.0, None) / np.maximum(n, 1.0)))
+    return h, float(np.sqrt(var))
 
 
 def logz_bounds_from_gp_sigma(logl, logvol, sigma, lv_start: float = 0.0):

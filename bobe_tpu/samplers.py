@@ -140,13 +140,24 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
                     dlogz: Optional[float] = None, dynamic: bool = False,
                     maxcall: Optional[int] = None, equal_weights: bool = False,
                     rng=None, rng_key=None, nlive: Optional[int] = None,
+                    merge_with: Optional[list] = None,
                     **ns_kwargs) -> Tuple[Dict, Dict, bool]:
     """Nested sampling over the GP surrogate.
 
     Returns (samples_dict, logz_dict, success) with the reference's schema
     (samplers.py:185-194): logz_dict carries mean/upper/lower/var/std/
-    dlogz_sampler; samples carry x/weights/logl/best/method. ``nlive``
-    overrides the per-mode default (reference samplers.py:119-125).
+    dlogz_sampler; samples carry x/weights/logl/best/method (plus ``raw``,
+    the run's (dead_x, dead_logl, nlive_schedule, bound) tuple for later
+    merging). ``nlive`` overrides the per-mode default (reference
+    samplers.py:119-125).
+
+    ``merge_with``: optional list of ``raw`` tuples from PREVIOUS runs over
+    the SAME GP state — the new run is combined with them at the dead-point
+    level (dynesty's varying-live-count merge, infer/nested.merge_runs), so
+    the reported evidence uses ALL the NS work instead of only the last
+    pass: sampler noise drops by ~sqrt(total live points / new live points).
+    Merging runs from different GP states is invalid (their logl values
+    disagree) — callers must only pass runs taken since the last GP update.
     """
     ndim = ndim if ndim is not None else gp.ndim
     nlive_default, dlogz_default, maxcall_default = ns_settings(mode, ndim)
@@ -202,8 +213,30 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
               f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
 
+    # raw-run tuple for later dead-point-level merging (see merge_with)
+    raw = (np.asarray(res.dead_x), np.asarray(res.dead_logl),
+           np.asarray(res.nlive_schedule, dtype=float), -np.inf)
+    if merge_with:
+        from .infer.nested import merge_runs
+
+        dead_x, dead_logl, logvol_arr, n_at_death = merge_runs(
+            list(merge_with) + [raw], logvol0=res.logvol0)
+        raw = (dead_x, dead_logl, n_at_death, -np.inf)
+        err_nlive = n_at_death
+        log.debug(f"NS merge: combined {len(merge_with) + 1} runs -> "
+                  f"{len(dead_logl)} points, peak live count "
+                  f"{float(np.max(n_at_death)):.0f}")
+    else:
+        dead_x, dead_logl, logvol_arr = res.dead_x, res.dead_logl, res.logvol
+        # dynamic runs have region-dependent live counts (base+batch overlap
+        # only in the posterior bulk) — the per-death schedule is the honest
+        # error denominator there; static runs keep the classic H/nlive
+        err_nlive = (res.nlive_schedule
+                     if dynamic and res.nlive_schedule is not None
+                     else res.nlive)
+
     # ---- evidence + GP-uncertainty bounds (reference samplers.py:172-185)
-    var = np.asarray(gp.predict_var_batched(jnp.asarray(res.dead_x)))
+    var = np.asarray(gp.predict_var_batched(jnp.asarray(dead_x)))
     sigma = np.sqrt(np.clip(var, 0.0, None))
     # LOO calibration: the GP posterior sd can underestimate actual errors
     # (hyperparameters are point-fit); scale sigma by the RMS leave-one-out
@@ -217,10 +250,10 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
         if np.isfinite(kappa) and kappa > 1.0:
             sigma = sigma * min(kappa, 5.0)
             log.debug(f"LOO calibration: sigma scaled by {min(kappa, 5.0):.2f}")
-    logz_dict = integrals.logz_bounds_from_gp_sigma(res.dead_logl, res.logvol,
+    logz_dict = integrals.logz_bounds_from_gp_sigma(dead_logl, logvol_arr,
                                                     sigma, lv_start=res.logvol0)
-    h, logzerr = integrals.information_and_err(res.dead_logl, res.logvol,
-                                               logz_dict["mean"], res.nlive,
+    h, logzerr = integrals.information_and_err(dead_logl, logvol_arr,
+                                               logz_dict["mean"], err_nlive,
                                                lv_start=res.logvol0)
     # the feasible-fraction estimate carries its own (binomial) uncertainty;
     # widen upper/lower too so the (upper-lower)/2 convergence delta sees it
@@ -233,17 +266,16 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
 
-    logwt = integrals.logwt_from(res.dead_logl, res.logvol,
-                                 lv_start=res.logvol0)
+    logwt = integrals.logwt_from(dead_logl, logvol_arr, lv_start=res.logvol0)
     weights = renormalise_log_weights(logwt)
-    samples_x, logl = res.dead_x, res.dead_logl
+    samples_x, logl = dead_x, dead_logl
     success = res.success and not np.all(logl == logl[0])
     best_pt = samples_x[np.argmax(logl)]
     if equal_weights:
         samples_x, logl = resample_equal(samples_x, logl, weights=weights, rng=rng)
         weights = np.ones(samples_x.shape[0])
     samples_dict = {"x": samples_x, "weights": weights, "logl": logl,
-                    "best": best_pt, "method": "nested"}
+                    "best": best_pt, "method": "nested", "raw": raw}
     return samples_dict, logz_dict, success
 
 

@@ -1,0 +1,293 @@
+"""Background compile prewarming for cold-process runs.
+
+Measured problem (BENCH_NOTES round 3): on tunneled TPU setups a cold process
+pays ~10 compile-cache loads over the relay, SERIALLY, one per hot graph the
+BO loop reaches (EHMC cold + warm, WIP sweep/batch/refine, GP fit + polish,
+NS acq/convergence, LOO, predict) — 100+ s of a quickstart wall that executes
+~60 s of actual phases. The loads are independent IO-bound operations, so the
+fix is classic pipelining: at ``BOBE.run()`` start a small daemon-thread pool
+triggers every first-iteration graph through the SAME lru-cached jitted entry
+points the loop will hit (same static keys, same shapes -> the loop's later
+calls are in-process cache hits), while the main thread proceeds with its own
+first compile. Near a GP capacity-bucket crossing the same machinery warms the
+next bucket's graphs one batch ahead of the growth (``prewarm_next_bucket``),
+removing the mid-run recompile stall as well.
+
+Correctness containment: prewarm calls are read-only with respect to the live
+run — mutating entry points (GP.update / fit) run on a throwaway ``gp.copy()``,
+every dummy execution draws from private RNGs (never the global seed
+registry), and results are discarded. A prewarmed run is bit-identical to an
+unprewarmed one; only compile timing moves. Failures are logged at debug
+level and never propagate (a prewarm can only be a no-op, not a crash).
+
+No reference counterpart: the reference is a CPU/MPI code whose scipy fits
+and dynesty loops have no compile step (cf. /root/reference/BOBE/pool.py);
+compile latency is a TPU-native concern.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from .log import get_logger
+
+log = get_logger("prewarm")
+
+_PREWARM_SEED = 0x5EED
+
+
+def prewarm_enabled() -> bool:
+    """Default: on for accelerator backends (where compiles are relay-priced),
+    off on CPU (tests/toys would pay dummy-execution cost for no win).
+    Override either way with BOBE_TPU_PREWARM=1/0."""
+    v = os.environ.get("BOBE_TPU_PREWARM")
+    if v is not None:
+        return v != "0"
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+class Prewarmer:
+    """Tracks named daemon prewarm threads; join-able for tests/teardown."""
+
+    def __init__(self):
+        self._threads = []
+        self._lock = threading.Lock()
+        self.errors = {}  # name -> repr(exc), for tests/diagnostics
+
+    def submit(self, name: str, fn) -> None:
+        def _run():
+            t0 = time.time()
+            try:
+                fn()
+                log.debug(f"prewarm[{name}] done in {time.time() - t0:.1f}s")
+            except Exception as e:  # never propagate into the run
+                with self._lock:
+                    self.errors[name] = repr(e)
+                log.debug(f"prewarm[{name}] failed (ignored): {e!r}")
+
+        t = threading.Thread(target=_run, name=f"prewarm-{name}", daemon=True)
+        t.start()
+        with self._lock:
+            self._threads.append(t)
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Join all submitted threads. Returns True if all finished."""
+        deadline = None if timeout is None else time.time() + timeout
+        for t in list(self._threads):
+            t.join(None if deadline is None else max(0.0, deadline - time.time()))
+        return not any(t.is_alive() for t in self._threads)
+
+
+# --------------------------------------------------------------------- dummies
+
+def _dummy_gp_like(gp, n_points: int):
+    """Plain-GP facade with ``n_points`` synthetic rows and the live GP's
+    config + hyperparameters — compiles the same graphs as a future live state
+    in the same capacity bucket (graph identity depends only on cfg + shapes).
+    A smooth bowl target keeps dummy NS/HMC executions short and finite."""
+    import jax.numpy as jnp
+
+    from ..models.gp import GP
+
+    rng = np.random.default_rng(_PREWARM_SEED)
+    d = gp.ndim
+    x = rng.uniform(0.05, 0.95, size=(n_points, d))
+    y = -0.5 * np.sum(((x - 0.5) / 0.25) ** 2, axis=1)
+    dummy = GP.__new__(GP)
+    GP.__init__(dummy, train_x=x, train_y=y, noise=float(gp.cfg.noise),
+                kernel="rbf" if gp.cfg.kernel == "rbf" else "matern")
+    # share the live config exactly (priors/bounds feed the static jit keys)
+    dummy.cfg = gp.cfg
+    dummy.state = dummy.state._replace(
+        log_ls=jnp.asarray(gp.state.log_ls),
+        log_amp=jnp.asarray(gp.state.log_amp),
+        log_tausq=jnp.asarray(gp.state.log_tausq))
+    return dummy
+
+
+def _fit_plan(n: int):
+    """(maxiter, n_restarts) the adaptive refit schedule will use at ``n``
+    active points — must mirror bo.update_gp's thresholds exactly for the
+    compiled fit graph (static key includes maxiter) to be a later cache hit."""
+    if n < 200:
+        return 300, 8
+    if n < 750:
+        return 250, 4
+    return 200, 4
+
+
+# ------------------------------------------------------------------ the warms
+
+def _warm_sampler(gp, settings: dict) -> None:
+    """EHMC/NUTS refresh graphs: the warm (steady-state) variant, plus the
+    cold variant implicitly if the synthetic warm kernel is rejected. The
+    run's FIRST refresh (cold) is compiled by the main thread concurrently."""
+    import jax
+
+    from ..acquisition import get_mc_samples
+
+    method = settings.get("mc_points_method", "EHMC")
+    if method not in ("EHMC", "NUTS"):
+        return
+    d = gp.ndim
+    rng = np.random.default_rng(_PREWARM_SEED + 1)
+    key = jax.random.PRNGKey(_PREWARM_SEED + 1)
+    kw = dict(warmup_steps=settings.get("num_hmc_warmup"),
+              num_samples=settings.get("num_hmc_samples", 1024),
+              thinning=settings.get("thinning"),
+              num_chains=settings.get("num_chains"),
+              method=method, np_rng=rng, rng_key=key)
+    if method == "EHMC":
+        from ..samplers import get_ehmc_settings
+
+        nc, _, _ = get_ehmc_settings(d, num_chains=settings.get("num_chains"),
+                                     num_samples=settings.get("num_hmc_samples"),
+                                     warmup_steps=settings.get("num_hmc_warmup"))
+        z = rng.normal(size=(nc, d))
+        warm = {"kind": "ehmc", "num_chains": nc, "ndim": d,
+                "dense_mass": True, "temp": 1.0,
+                "step_size": np.asarray(0.5),
+                "mass_inv": np.eye(d), "mass_chol": np.eye(d),
+                "last_z": z}
+    else:
+        nc = settings.get("num_chains") or 4
+        z = rng.normal(size=(nc, d))
+        warm = {"kind": "nuts", "num_chains": nc, "ndim": d,
+                "dense_mass": True, "temp": 1.0,
+                "step_size": np.full((nc,), 0.5),
+                "mass_inv": np.tile(np.eye(d), (nc, 1, 1)),
+                "mass_chol": np.tile(np.eye(d), (nc, 1, 1)),
+                "last_z": z}
+    get_mc_samples(gp, warm_state=warm, **kw)
+
+
+def _warm_acquisition(gp, settings: dict) -> None:
+    """AOT-compile (no execution) the WIP sweep / fused greedy batch / refine
+    cores for the current capacity bucket and the run's mc_points_size."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import acquisition as acq
+    from ..parallel.mesh import production_mesh
+
+    mesh = production_mesh()
+    n_mc = int(settings.get("mc_points_size", 64))
+    n_batch = int(settings.get("batch_size", 4))
+    d = gp.ndim
+    sds = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), gp.state)
+    mc = jax.ShapeDtypeStruct((n_mc, d), jnp.dtype("float64"))
+    for use_std in settings.get("use_std_set", (True,)):
+        acq._wip_sweep_core(gp.cfg, use_std, acq.SWEEP_DTYPE,
+                            mesh).lower(sds, mc).compile()
+        if n_batch > 1:
+            acq._wip_batch_core(gp.cfg, use_std, n_batch, acq.SWEEP_DTYPE,
+                                mesh).lower(sds, mc).compile()
+        if gp.npoints <= acq.REFINE_MAX_N:  # polish skipped above (prod. :333)
+            x0 = jax.ShapeDtypeStruct((1, d), jnp.dtype("float64"))
+            sdt = jnp.dtype(acq.SWEEP_DTYPE)
+            V = jax.ShapeDtypeStruct((gp.state.x.shape[0], n_mc), sdt)
+            var = jax.ShapeDtypeStruct((n_mc,), sdt)
+            acq._wip_refine_core(gp.cfg, use_std, 100).lower(
+                sds, x0, mc, V, var).compile()
+
+
+def _warm_fit_and_update(gp, settings: dict) -> None:
+    """GP extend + hyperparameter-fit graphs on a throwaway copy (both entry
+    points mutate facade state). Covers the f32 fit, its f64 polish, and the
+    host-routed f64 path — whichever combination the dtype policy selects."""
+    rng = np.random.default_rng(_PREWARM_SEED + 2)
+    d = gp.ndim
+    batch = int(settings.get("batch_size", 4))
+    dummy = gp.copy()
+    new_x = rng.uniform(0.05, 0.95, size=(batch, d))
+    new_y = -0.5 * np.sum(((new_x - 0.5) / 0.25) ** 2, axis=1)
+    dummy.update(new_x, new_y)
+    maxiter, n_restarts = _fit_plan(dummy.npoints)
+    dummy.fit(n_restarts=n_restarts, maxiter=maxiter, rng=rng)
+
+
+def _warm_nested(gp, settings: dict, mode: str, nlive: Optional[int] = None) -> None:
+    """Convergence/acq-mode NS graph (plus the LOO-calibration and batched
+    predict-variance graphs its bounds integration uses) by dummy execution:
+    the NS while_loop's static key spans (nlive, kill_k, repeats, cap), so a
+    real short run through ``samplers.nested_sampling`` is the only robust way
+    to hit the exact production graph."""
+    import jax
+
+    from ..samplers import nested_sampling
+
+    rng = np.random.default_rng(_PREWARM_SEED + 3)
+    key = jax.random.PRNGKey(_PREWARM_SEED + 3)
+    nested_sampling(gp=gp, mode=mode, dlogz=0.01 if mode != "acq" else 0.02,
+                    equal_weights=(mode == "acq"), nlive=nlive,
+                    rng=rng, rng_key=key)
+
+
+# ------------------------------------------------------------------- entry API
+
+def _run_settings(bo, acq_names) -> dict:
+    wip = [a for a in acq_names if a.lower() in ("wipv", "wipstd")]
+    return {
+        "mc_points_method": getattr(bo, "mc_points_method", "EHMC"),
+        "num_hmc_warmup": getattr(bo, "num_hmc_warmup", None),
+        "num_hmc_samples": getattr(bo, "num_hmc_samples", 1024),
+        "thinning": getattr(bo, "hmc_thinning", None),
+        "num_chains": getattr(bo, "hmc_num_chains", None),
+        "mc_points_size": getattr(bo, "mc_points_size", 64),
+        "batch_size": getattr(bo, "batch_size", 4),
+        "fit_n_points": getattr(bo, "fit_n_points", 10),
+        "wip": bool(wip),
+        "use_std_set": tuple(sorted({a.lower() == "wipstd" for a in wip}))
+                       or (True,),
+    }
+
+
+def prewarm_run(bo, acq_names=("wipstd",)) -> Prewarmer:
+    """Fire-and-forget warms for every graph the first BO iterations touch.
+    Called at ``BOBE.run`` start; returns the Prewarmer (join-able)."""
+    settings = _run_settings(bo, acq_names)
+    gp = bo.gp
+    w = Prewarmer()
+    w.submit("fit", lambda: _warm_fit_and_update(gp, settings))
+    if settings["wip"]:
+        w.submit("sampler", lambda: _warm_sampler(gp, settings))
+        w.submit("acquisition", lambda: _warm_acquisition(gp, settings))
+        w.submit("ns-convergence",
+                 lambda: _warm_nested(gp, settings, "convergence"))
+    return w
+
+
+def prewarm_next_bucket(bo) -> Optional[Prewarmer]:
+    """When the next acquisition batch would cross the GP's padding-capacity
+    bucket, compile the NEXT bucket's graphs now, in the background — by the
+    time the growth happens the loop's calls are cache hits instead of a
+    multi-graph recompile stall. Returns the Prewarmer when triggered."""
+    gp = bo.gp
+    cap = gp.state.x.shape[0]
+    batch = int(getattr(bo, "batch_size", 4))
+    lookahead = max(2 * batch, 8)
+    if gp.gp_size + lookahead <= cap:
+        return None
+    max_gp = int(getattr(bo, "max_gp_size", 10**9))
+    if gp.gp_size >= max_gp:  # growth cannot happen; run is about to stop
+        return None
+    acq_names = [getattr(getattr(bo, "acquisition", None), "name", "wipstd")]
+    settings = _run_settings(bo, acq_names)
+    dummy = _dummy_gp_like(gp, cap + 1)  # lands in the next bucket
+    w = Prewarmer()
+    w.submit("next-fit", lambda: _warm_fit_and_update(dummy, settings))
+    if settings["wip"]:
+        w.submit("next-sampler", lambda: _warm_sampler(dummy, settings))
+        w.submit("next-acquisition", lambda: _warm_acquisition(dummy, settings))
+        w.submit("next-ns", lambda: _warm_nested(dummy, settings, "convergence"))
+    return w

@@ -1,0 +1,87 @@
+"""Cold-start compile prewarming (utils/prewarm.py).
+
+The prewarmer must (a) touch every first-iteration graph without raising,
+(b) trigger next-bucket warms only when a capacity crossing is imminent, and
+(c) never perturb run results — it draws from private RNGs and mutates only
+throwaway GP copies. (A full prewarm-on/off e2e determinism A/B was measured
+identical on the banana mini-run; here we keep the cheap invariants.)
+"""
+import types
+
+import numpy as np
+import pytest
+
+from bobe_tpu.models.gp import GP
+from bobe_tpu.utils import prewarm
+from bobe_tpu.utils.seed import get_numpy_rng
+
+
+def _mk_gp(n, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, d))
+    y = -np.sum(((x - 0.5) / 0.3) ** 2, axis=1)
+    return GP(train_x=x, train_y=y, noise=1e-8)
+
+
+def _mk_bo(gp, **over):
+    ns = types.SimpleNamespace(
+        gp=gp, mc_points_method="EHMC", num_hmc_warmup=None,
+        num_hmc_samples=128, hmc_thinning=None, hmc_num_chains=None,
+        mc_points_size=16, batch_size=4, fit_n_points=10, max_gp_size=10_000,
+        acquisition=types.SimpleNamespace(name="WIPStd"))
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_prewarm_run_compiles_all_tracks():
+    bo = _mk_bo(_mk_gp(10))
+    w = prewarm.prewarm_run(bo, ["wipstd"])
+    assert w.wait(timeout=600)
+    assert w.errors == {}, w.errors
+
+
+def test_prewarm_ei_only_skips_wip_tracks():
+    bo = _mk_bo(_mk_gp(10))
+    w = prewarm.prewarm_run(bo, ["logei"])
+    assert w.wait(timeout=600)
+    assert w.errors == {}, w.errors
+    # only the fit track ran for an EI-only schedule
+    assert len(w._threads) == 1
+
+
+def test_next_bucket_triggers_only_near_cap():
+    bo = _mk_bo(_mk_gp(10))  # cap 128, n 10 -> far from crossing
+    assert prewarm.prewarm_next_bucket(bo) is None
+
+    bo = _mk_bo(_mk_gp(124))  # within 2*batch of cap 128
+    w = prewarm.prewarm_next_bucket(bo)
+    assert w is not None
+    assert w.wait(timeout=600)
+    assert w.errors == {}, w.errors
+
+
+def test_next_bucket_suppressed_at_max_gp_size():
+    bo = _mk_bo(_mk_gp(124), max_gp_size=100)  # growth cannot happen
+    assert prewarm.prewarm_next_bucket(bo) is None
+
+
+def test_prewarm_leaves_live_gp_and_global_rng_untouched():
+    gp = _mk_gp(10)
+    state_before = gp.state
+    rng_state_before = get_numpy_rng().bit_generator.state
+    bo = _mk_bo(gp)
+    w = prewarm.prewarm_run(bo, ["wipstd"])
+    assert w.wait(timeout=600)
+    # live state object unchanged (prewarm mutates only throwaway copies)
+    assert gp.state is state_before
+    assert get_numpy_rng().bit_generator.state == rng_state_before
+
+
+def test_enabled_default_off_on_cpu(monkeypatch):
+    monkeypatch.delenv("BOBE_TPU_PREWARM", raising=False)
+    assert prewarm.prewarm_enabled() is False  # tests run on the CPU backend
+    monkeypatch.setenv("BOBE_TPU_PREWARM", "1")
+    assert prewarm.prewarm_enabled() is True
+    monkeypatch.setenv("BOBE_TPU_PREWARM", "0")
+    assert prewarm.prewarm_enabled() is False

@@ -190,3 +190,45 @@ def test_nuts_warm_start_takes_warm_path(gp_gaussian, monkeypatch):
         num_samples=128, warmup_steps=64, warm_state=cold["warm_state"])
     assert calls == [False, True], calls
     assert warm["x"].shape == cold["x"].shape
+
+
+def test_nested_sampling_merge_tightens_sampler_noise(gp_gaussian):
+    """merge_with combines runs at the dead-point level: the merged estimate
+    must carry lower sampler noise than either single run and stay within
+    the single-run scatter of the analytic evidence."""
+    want = np.log(2 * np.pi * 0.15**2)
+    s1, lz1, ok1 = nested_sampling(gp_gaussian, mode="convergence", dlogz=0.01,
+                                   rng=np.random.default_rng(5))
+    assert ok1 and "raw" in s1
+    s2, lz2, ok2 = nested_sampling(gp_gaussian, mode="convergence", dlogz=0.01,
+                                   rng=np.random.default_rng(6),
+                                   merge_with=[s1["raw"]])
+    assert ok2
+    # ~sqrt(2) noise reduction for two equal-nlive runs (allow slack for the
+    # schedule edges): merged error must be clearly below the single-run one
+    assert lz2["dlogz_sampler"] < 0.8 * lz1["dlogz_sampler"]
+    assert abs(lz2["mean"] - want) < 0.3
+    # merged raw can be merged again: counts stack to ~3x nlive in the bulk
+    s3, lz3, ok3 = nested_sampling(gp_gaussian, mode="convergence", dlogz=0.01,
+                                   rng=np.random.default_rng(7),
+                                   merge_with=[s2["raw"]])
+    assert ok3
+    assert lz3["dlogz_sampler"] < lz2["dlogz_sampler"]
+
+
+def test_information_err_schedule_consistency():
+    """A constant per-death schedule must reproduce the scalar-nlive error."""
+    from bobe_tpu.infer import integrals
+
+    rng = np.random.default_rng(0)
+    n = 400
+    logvol = -np.arange(1, n + 1) / 50.0
+    logl = np.sort(rng.normal(size=n))  # ascending, arbitrary scale
+    logz = integrals.trapezoid_logz(logl, logvol)[-1]
+    h_s, err_s = integrals.information_and_err(logl, logvol, logz, 50)
+    h_a, err_a = integrals.information_and_err(logl, logvol, logz,
+                                               np.full(n, 50.0))
+    assert h_s == h_a
+    # array path clips negative per-point increments -> conservative (>=)
+    assert err_a >= err_s * 0.999
+    assert err_a < 3.0 * err_s
