@@ -216,6 +216,24 @@ def _warm_fit_and_update(gp, settings: dict) -> None:
     dummy.fit(n_restarts=n_restarts, maxiter=maxiter, rng=rng)
 
 
+def _warm_ei(gp, settings: dict) -> None:
+    """AOT-compile the EI/LogEI restart optimizer for the run_EI loop
+    (bo.run_EI: n_batch=1, n_restarts=50, maxiter=300)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import acquisition as acq
+
+    d = gp.ndim
+    sds = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), gp.state)
+    x0 = jax.ShapeDtypeStruct((50, d), jnp.dtype("float64"))
+    scalar = jax.ShapeDtypeStruct((), jnp.dtype("float64"))
+    for use_log in settings.get("ei_modes", ()):
+        acq._ei_objective_core(gp.cfg, use_log, 300).lower(
+            sds, x0, scalar, scalar).compile()
+
+
 def _warm_nested(gp, settings: dict, mode: str, nlive: Optional[int] = None) -> None:
     """Convergence/acq-mode NS graph (plus the LOO-calibration and batched
     predict-variance graphs its bounds integration uses) by dummy execution:
@@ -249,6 +267,8 @@ def _run_settings(bo, acq_names) -> dict:
         "wip": bool(wip),
         "use_std_set": tuple(sorted({a.lower() == "wipstd" for a in wip}))
                        or (True,),
+        "ei_modes": tuple(sorted({a.lower() == "logei" for a in acq_names
+                                  if a.lower() in ("ei", "logei")})),
     }
 
 
@@ -264,6 +284,8 @@ def prewarm_run(bo, acq_names=("wipstd",)) -> Prewarmer:
         w.submit("acquisition", lambda: _warm_acquisition(gp, settings))
         w.submit("ns-convergence",
                  lambda: _warm_nested(gp, settings, "convergence"))
+    if settings["ei_modes"]:
+        w.submit("ei", lambda: _warm_ei(gp, settings))
     return w
 
 

@@ -46,8 +46,9 @@ def test_prewarm_ei_only_skips_wip_tracks():
     w = prewarm.prewarm_run(bo, ["logei"])
     assert w.wait(timeout=600)
     assert w.errors == {}, w.errors
-    # only the fit track ran for an EI-only schedule
-    assert len(w._threads) == 1
+    # an EI-only schedule warms fit + the EI optimizer, no WIP/sampler/NS
+    names = sorted(t.name for t in w._threads)
+    assert names == ["prewarm-ei", "prewarm-fit"]
 
 
 def test_next_bucket_triggers_only_near_cap():
@@ -85,3 +86,19 @@ def test_enabled_default_off_on_cpu(monkeypatch):
     assert prewarm.prewarm_enabled() is True
     monkeypatch.setenv("BOBE_TPU_PREWARM", "0")
     assert prewarm.prewarm_enabled() is False
+
+
+def test_prewarm_with_classifier_gp():
+    """Cosmology-regime prewarm: the gated sampler/NS graphs and the clf-GP
+    fit/update path must warm without errors."""
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(40, 2))
+    y = -np.sum(((x - 0.5) / 0.2) ** 2, axis=1) * 30  # wide range -> clf active
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, noise=1e-8)
+    bo = _mk_bo(gp)
+    w = prewarm.prewarm_run(bo, ["wipstd"])
+    assert w.wait(timeout=600)
+    assert w.errors == {}, w.errors
