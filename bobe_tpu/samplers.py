@@ -158,6 +158,10 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     pass: sampler noise drops by ~sqrt(total live points / new live points).
     Merging runs from different GP states is invalid (their logl values
     disagree) — callers must only pass runs taken since the last GP update.
+    For classifier-gated surrogates the merged ledger starts at the CURRENT
+    run's feasible-fraction estimate; prior runs' independent f_hat draws
+    differ by O(sqrt(var_logvol0)) ~ 1e-2, already accounted inside the
+    reported var/upper/lower widening below.
     """
     ndim = ndim if ndim is not None else gp.ndim
     nlive_default, dlogz_default, maxcall_default = ns_settings(mode, ndim)
