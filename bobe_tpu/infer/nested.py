@@ -224,7 +224,8 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                kill_frac: float = 0.1, n_repeats: int | None = None,
                max_shrink: int = 40, max_dead: int | None = None,
                live_x=None, live_logl=None, rng=None,
-               logvol0: float = 0.0, mesh=None) -> NSResult:
+               logvol0: float = 0.0, mesh=None,
+               warn_truncation: bool = True) -> NSResult:
     """Run nested sampling; ``loglike_apply(ctx, x)`` maps (m, d) -> (m,).
 
     ``loglike_apply`` must be a stable (cacheable) function and ``ctx`` the
@@ -295,7 +296,10 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
     sched_live = nlive - np.arange(nlive)
     schedule = np.concatenate([sched_dead, sched_live]).astype(float)
 
-    if int(calls) >= maxcall:
+    if int(calls) >= maxcall and warn_truncation:
+        # warn_truncation=False: deliberately budget-capped runs (e.g. the
+        # compile prewarmer passes maxcall=64 to compile the production loop
+        # graph without paying a full NS execution)
         log.warning(
             f"NS terminated on maxcall={maxcall} before reaching dlogz="
             f"{dlogz} (n_iter={int(n_iter)}); logZ is truncated low — raise "

@@ -238,8 +238,10 @@ def _warm_nested(gp, settings: dict, mode: str, nlive: Optional[int] = None) -> 
     """Convergence/acq-mode NS graph (plus the LOO-calibration and batched
     predict-variance graphs its bounds integration uses) by dummy execution:
     the NS while_loop's static key spans (nlive, kill_k, repeats, cap), so a
-    real short run through ``samplers.nested_sampling`` is the only robust way
-    to hit the exact production graph."""
+    real run through ``samplers.nested_sampling`` is the only robust way to
+    hit the exact production graph. ``maxcall`` is TRACED, so capping it at
+    64 compiles the identical loop while executing only ~one kill batch —
+    the prewarm never pays a full NS run's device time."""
     import jax
 
     from ..samplers import nested_sampling
@@ -248,6 +250,7 @@ def _warm_nested(gp, settings: dict, mode: str, nlive: Optional[int] = None) -> 
     key = jax.random.PRNGKey(_PREWARM_SEED + 3)
     nested_sampling(gp=gp, mode=mode, dlogz=0.01 if mode != "acq" else 0.02,
                     equal_weights=(mode == "acq"), nlive=nlive,
+                    maxcall=64, warn_truncation=False,
                     rng=rng, rng_key=key)
 
 
