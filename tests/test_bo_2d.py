@@ -133,3 +133,45 @@ def test_budget_capped_final_ns_boosts_nlive(tmp_path):
     # tiny budget, easy target: the surrogate should still be decent
     assert abs(logz["mean"] - logz_true) < 1.0, (logz, logz_true)
     assert len(results["samples"]["x"]) > 0
+
+
+def test_final_precision_ns_merges_convergence_run(tmp_path, monkeypatch):
+    """The post-convergence final-precision NS must pass the convergence
+    run's raw dead points via merge_with (same GP state — the reported
+    evidence uses all NS work, not a fresh-noise replacement)."""
+    import bobe_tpu.bo as bo_mod
+
+    calls = []
+    orig = bo_mod.nested_sampling
+
+    def recording(*args, **kwargs):
+        calls.append({"nlive": kwargs.get("nlive"),
+                      "merged": kwargs.get("merge_with") is not None})
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(bo_mod, "nested_sampling", recording)
+
+    bobe = BOBE(
+        loglikelihood=toys.banana,
+        param_list=toys.banana_names,
+        param_bounds=toys.banana_bounds,
+        likelihood_name="banana_merge_test",
+        n_sobol_init=8,
+        seed=7,
+        save_dir=str(tmp_path),
+        verbosity="WARNING",
+        pool="serial",
+    )
+    # threshold 0.05 < the d=2/nlive=500 sampler noise (~0.09) so the
+    # final-precision boost pass must engage after convergence
+    results = bobe.run(acq="wipstd", min_evals=16, max_evals=160,
+                       max_gp_size=200, logz_threshold=0.05, batch_size=4,
+                       fit_n_points=4, ns_n_points=8, convergence_n_iters=1)
+    assert results is not None
+    assert bobe.converged, bobe.termination_reason
+    # at least one convergence NS (unmerged) followed by the boosted
+    # final-precision pass carrying merge_with
+    assert any(not c["merged"] and c["nlive"] is None for c in calls)
+    final = calls[-1]
+    assert final["merged"] and final["nlive"] is not None
+    assert abs(results["logz"]["mean"] - (-3.185)) < 0.3
