@@ -568,6 +568,10 @@ class BOBE:
         self._prewarmer = (_prewarm.prewarm_run(self, acqs)
                            if _prewarm.prewarm_enabled() else None)
         self._bucket_warmed_cap = 0
+        # host/device pipelining: run the MC-pool refresh concurrently with
+        # the likelihood batch (see _start_refresh_async)
+        self._overlap_refresh = os.environ.get(
+            "BOBE_TPU_OVERLAP_REFRESH", "1") != "0"
 
         self.current_iteration = self.start_iteration
         for a in acqs:
@@ -629,13 +633,15 @@ class BOBE:
         return int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
                            lo, 8))
 
-    def _refresh_mc_samples(self):
+    def _refresh_mc_samples(self, np_rng=None, rng_key=None):
         self.results_manager.start_timing("MCMC Sampling")
         self.mc_samples = get_mc_samples(
             self.gp, warmup_steps=self.num_hmc_warmup,
             num_samples=self.num_hmc_samples, thinning=self.hmc_thinning,
-            num_chains=self.hmc_num_chains, np_rng=self.np_rng,
-            rng_key=get_jax_key(), method=self.mc_points_method,
+            num_chains=self.hmc_num_chains,
+            np_rng=np_rng if np_rng is not None else self.np_rng,
+            rng_key=rng_key if rng_key is not None else get_jax_key(),
+            method=self.mc_points_method,
             warm_state=getattr(self, "_nuts_warm", None))
         # cache the adapted NUTS kernel: successive iterations re-warm from
         # it (short fixed-mass step-size re-adaptation) instead of paying the
@@ -643,6 +649,46 @@ class BOBE:
         if isinstance(self.mc_samples, dict):
             self._nuts_warm = self.mc_samples.get("warm_state")
         self.results_manager.end_timing("MCMC Sampling")
+
+    def _start_refresh_async(self):
+        """Launch the MC-pool refresh on a daemon thread so its device work
+        overlaps the host-side likelihood batch (SURVEY hard-part (d): the
+        accelerator otherwise idles through every expensive Cobaya batch,
+        and the host idles through every refresh). The thread gets a jax key
+        drawn NOW (main thread — deterministic sequence position) and a
+        spawned child Generator, so the main thread's np_rng stream is never
+        raced. Joined before update_gp, so the thread only ever reads the
+        pre-batch GP state: the next iteration's MC pool is one batch stale
+        relative to the sequential path. That is a measure-refinement detail
+        of the WIP integral (the sweep itself always uses the CURRENT GP at
+        the pool points) — parity validated in tests/test_bo_2d.py; NS-based
+        convergence iterations are never overlapped and always use the
+        post-update surrogate. Disable: BOBE_TPU_OVERLAP_REFRESH=0."""
+        import threading
+
+        key = get_jax_key()
+        child_rng = self.np_rng.spawn(1)[0]
+        holder = {}
+
+        def _run():
+            try:
+                self._refresh_mc_samples(np_rng=child_rng, rng_key=key)
+            except Exception as e:  # fall back to a sync refresh on join
+                holder["error"] = e
+
+        t = threading.Thread(target=_run, name="bobe-refresh", daemon=True)
+        t.start()
+        holder["thread"] = t
+        return holder
+
+    def _join_refresh(self, holder):
+        self.results_manager.start_timing("MCMC Join Wait")
+        holder["thread"].join()
+        self.results_manager.end_timing("MCMC Join Wait")
+        if "error" in holder:
+            log.warning(f"async MC refresh failed ({holder['error']!r}); "
+                        "re-running synchronously")
+            self._refresh_mc_samples()
 
     def run_weighted_integrated_posterior(self, acq_func_class, ii: int = 0):
         self.acquisition = acq_func_class(optimizer=self.optimizer)
@@ -666,12 +712,20 @@ class BOBE:
             new_pts_u, acq_vals = self.get_next_batch(
                 acq_kwargs, n_batch=self.batch_size, n_restarts=1, maxiter=100,
                 early_stop_patience=10, step=ii)
+            # overlap the device-side pool refresh with the host-side
+            # likelihood batch (see _start_refresh_async); NS iterations
+            # must sample the post-update surrogate, so they never overlap
+            will_ns = ns_flag and (acq_vals[-1] <= self.logz_threshold)
+            refresh_job = (self._start_refresh_async()
+                           if self._overlap_refresh and not will_ns else None)
             new_vals = self.evaluate_likelihood(new_pts_u, ii)
+            if refresh_job is not None:
+                self._join_refresh(refresh_job)
             current_evals += self.batch_size
             self.update_gp(new_pts_u, new_vals, step=ii)
             self.results_manager.update_best_loglike(ii, self.best_f)
 
-            if ns_flag and (acq_vals[-1] <= self.logz_threshold):
+            if will_ns:
                 self.results_manager.start_timing("Nested Sampling")
                 ns_samples, logz_dict, ns_success = nested_sampling(
                     gp=self.gp, mode="convergence", dlogz=0.01,
@@ -695,7 +749,7 @@ class BOBE:
                         self.termination_reason = "LogZ converged"
                         self.results_dict["termination_reason"] = self.termination_reason
                 self.n_points_since_last_ns = 0
-            else:
+            elif refresh_job is None:
                 self._refresh_mc_samples()
 
             log.info(f"Current best point {self.best} with value = "

@@ -88,12 +88,21 @@ def _chord_bounds(x, e):
                                    "mesh"))
 def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
              nlive: int, kill_k: int, max_dead: int, n_repeats: int,
-             max_shrink: int, d: int, dlogz: float, maxcall: int, mesh=None):
-    """The jitted NS main loop. Returns padded dead buffers + counters.
+             max_shrink: int, d: int, dlogz: float, maxcall: int, mesh=None,
+             carry0=None):
+    """The jitted NS main loop. Returns the full loop carry (see ``init``).
 
     ``loglike_apply(ctx, x)`` evaluates the batched log-likelihood; ``ctx`` is
     a traced pytree (e.g. the GP state) so successive BO iterations with new
     training data reuse the same compiled loop — no per-iteration retraces.
+
+    ``maxcall`` is TRACED, and ``carry0`` (a previous invocation's return)
+    resumes the loop exactly where it stopped — together they let the host
+    run NS as a sequence of bounded device dispatches (run_nested's
+    segmenting): the PRNG chain lives in the carry, so a segmented run is
+    bit-identical to a single dispatch. Long single dispatches are what relay
+    /tunneled-TPU transports kill (measured: d=30 convergence NS faulted the
+    worker ~15 min into one dispatch).
     """
     loglike_fn = lambda x: loglike_apply(ctx, x)
     dt = live_x0.dtype
@@ -204,19 +213,18 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
         room = n_dead + K <= max_dead
         return (delta > dlogz) & room & (calls < maxcall)
 
-    neg = jnp.asarray(-1e300, dt)
-    init = (
-        jnp.asarray(0, jnp.int32), key, live_x0, live_logl0,
-        jnp.zeros((max_dead, d), dt), jnp.full((max_dead,), neg),
-        jnp.full((max_dead,), neg),
-        jnp.asarray(0, jnp.int32), jnp.asarray(logvol0, dt), neg,
-        jnp.asarray(0, jnp.int64),
-    )
-    out = lax.while_loop(cond, body, init)
-    (it, _, live_x, live_logl, dead_x, dead_logl, dead_lv,
-     n_dead, logvol, logz, calls) = out
-    return (live_x, live_logl, dead_x, dead_logl, dead_lv, n_dead, logvol,
-            logz, it, calls)
+    if carry0 is None:
+        neg = jnp.asarray(-1e300, dt)
+        init = (
+            jnp.asarray(0, jnp.int32), key, live_x0, live_logl0,
+            jnp.zeros((max_dead, d), dt), jnp.full((max_dead,), neg),
+            jnp.full((max_dead,), neg),
+            jnp.asarray(0, jnp.int32), jnp.asarray(logvol0, dt), neg,
+            jnp.asarray(0, jnp.int64),
+        )
+    else:
+        init = carry0
+    return lax.while_loop(cond, body, init)
 
 
 def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
@@ -259,12 +267,52 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
         max_dead = int(min(200_000, max(20_000, nlive * 80)))
     max_dead = ((max_dead + K - 1) // K) * K  # multiple of K
 
-    (live_x, live_logl, dead_x, dead_logl, dead_lv, n_dead, logvol, logz,
-     n_iter, calls) = _ns_loop(
-        loglike_apply, ctx, live_x, live_logl, key,
-        jnp.asarray(float(logvol0), dt), nlive, K, max_dead,
-        int(n_repeats), int(max_shrink), d, float(dlogz), int(maxcall),
-        mesh)
+    # Segmented dispatch: run the jitted loop in bounded call-budget chunks
+    # (maxcall is traced; the carry — including the PRNG key — round-trips
+    # through each segment, so results are BIT-IDENTICAL to one dispatch).
+    # Motivation: a single d=30 convergence NS dispatch runs for many minutes
+    # and relay/tunneled-TPU transports kill long-running device calls
+    # (measured worker faults ~15 min in). Each segment targets
+    # BOBE_TPU_NS_SEGMENT_S seconds (default 60), sized adaptively from the
+    # measured call rate; only a few scalars cross the host boundary between
+    # segments. BOBE_TPU_NS_CHUNK_CALLS=0 disables segmenting.
+    import os as _os
+    import time as _time
+
+    seg_target = float(_os.environ.get("BOBE_TPU_NS_SEGMENT_S", "60"))
+    chunk_env = _os.environ.get("BOBE_TPU_NS_CHUNK_CALLS")
+    fixed_chunk = int(chunk_env) if chunk_env else None
+    # small first segment to measure the call rate cheaply (~2% of a typical
+    # converged run's 100*nlive*n_repeats budget)
+    chunk = fixed_chunk if fixed_chunk else 2 * nlive * int(n_repeats)
+    carry = None
+    calls_done = 0
+    while True:
+        budget = maxcall if chunk <= 0 else min(int(maxcall),
+                                                calls_done + int(chunk))
+        t_seg = _time.time()
+        carry = _ns_loop(
+            loglike_apply, ctx, live_x, live_logl, key,
+            jnp.asarray(float(logvol0), dt), nlive, K, max_dead,
+            int(n_repeats), int(max_shrink), d, float(dlogz), int(budget),
+            mesh, carry0=carry)
+        # segment bookkeeping: a handful of scalars only; buffers stay on
+        # device until the final bundled fetch below
+        n_dead_d, logvol_d, logz_d, calls_d, lmax_d = jax.device_get(
+            (carry[7], carry[8], carry[9], carry[10], jnp.max(carry[3])))
+        dt_seg = max(_time.time() - t_seg, 1e-3)
+        delta = np.logaddexp(logz_d, lmax_d + logvol_d) - logz_d
+        done = (delta <= dlogz or int(n_dead_d) + K > max_dead
+                or int(calls_d) >= maxcall)
+        if done or budget >= maxcall:
+            break
+        if not fixed_chunk:
+            rate = max((int(calls_d) - calls_done) / dt_seg, 1.0)
+            chunk = max(int(rate * seg_target), nlive)
+        calls_done = int(calls_d)
+    (it_c, _key_c, live_x, live_logl, dead_x, dead_logl, dead_lv,
+     n_dead, logvol, logz, calls) = carry
+    n_iter = it_c
 
     # one bundled device->host transfer for all result buffers (serial
     # per-array fetches are latency-priced on tunneled TPUs)

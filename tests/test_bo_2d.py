@@ -175,3 +175,36 @@ def test_final_precision_ns_merges_convergence_run(tmp_path, monkeypatch):
     final = calls[-1]
     assert final["merged"] and final["nlive"] is not None
     assert abs(results["logz"]["mean"] - (-3.185)) < 0.3
+
+
+def test_overlapped_refresh_parity(tmp_path, monkeypatch):
+    """The async (overlapped) MC-pool refresh must run on WIP iterations,
+    never on NS iterations, and converge to the same evidence (within NS
+    scatter) as the sequential path."""
+    import bobe_tpu.bo as bo_mod
+
+    def run_once(overlap):
+        monkeypatch.setenv("BOBE_TPU_OVERLAP_REFRESH", "1" if overlap else "0")
+        bobe = BOBE(
+            loglikelihood=toys.banana,
+            param_list=toys.banana_names,
+            param_bounds=toys.banana_bounds,
+            likelihood_name=f"banana_overlap_{int(overlap)}",
+            n_sobol_init=8, seed=11, save_dir=str(tmp_path),
+            verbosity="WARNING", pool="serial")
+        results = bobe.run(acq="wipstd", min_evals=16, max_evals=160,
+                           max_gp_size=200, logz_threshold=0.1, batch_size=4,
+                           fit_n_points=4, ns_n_points=8,
+                           convergence_n_iters=1)
+        timing = bobe.results_manager.get_timing_summary()["phase_times"]
+        return results["logz"]["mean"], bobe.converged, timing
+
+    lz_seq, conv_seq, t_seq = run_once(False)
+    lz_ovl, conv_ovl, t_ovl = run_once(True)
+    assert conv_seq and conv_ovl
+    assert "MCMC Join Wait" not in t_seq          # sequential path: no joins
+    assert t_ovl.get("MCMC Join Wait", 0.0) >= 0  # overlapped path joined
+    assert "MCMC Join Wait" in t_ovl
+    # same truth, independent NS noise: both near -3.185 and near each other
+    assert abs(lz_seq - (-3.185)) < 0.3
+    assert abs(lz_ovl - (-3.185)) < 0.3

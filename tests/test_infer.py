@@ -129,3 +129,29 @@ def test_nuts_vmapped_chains():
     s = np.asarray(zs).reshape(-1, 3)
     np.testing.assert_allclose(s.mean(0), np.zeros(3), atol=0.15)
     np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.2)
+
+
+def test_segmented_ns_bit_identical(monkeypatch):
+    """Segmented dispatch (tiny fixed chunks) must reproduce the single-
+    dispatch run EXACTLY — the PRNG chain lives in the loop carry."""
+    import jax
+    import jax.numpy as jnp
+    from bobe_tpu.infer.nested import run_nested
+
+    def loglike_apply(ctx, x):
+        return -0.5 * jnp.sum(((x - 0.5) / 0.1) ** 2, axis=-1)
+
+    key = jax.random.PRNGKey(9)
+    rng_seed = 123
+
+    monkeypatch.setenv("BOBE_TPU_NS_CHUNK_CALLS", "0")  # single dispatch
+    a = run_nested(loglike_apply, None, 2, key, nlive=100, dlogz=0.05,
+                   rng=np.random.default_rng(rng_seed))
+    monkeypatch.setenv("BOBE_TPU_NS_CHUNK_CALLS", "500")  # many tiny segments
+    b = run_nested(loglike_apply, None, 2, key, nlive=100, dlogz=0.05,
+                   rng=np.random.default_rng(rng_seed))
+    assert a.n_iter == b.n_iter and a.n_calls == b.n_calls
+    np.testing.assert_array_equal(a.dead_logl, b.dead_logl)
+    np.testing.assert_array_equal(a.dead_x, b.dead_x)
+    np.testing.assert_array_equal(a.logvol, b.logvol)
+    assert a.logz == b.logz
