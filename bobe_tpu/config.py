@@ -22,15 +22,49 @@ import jax.numpy as jnp
 # Enable x64 before any array is created (parity with reference gp.py:7).
 jax.config.update("jax_enable_x64", True)
 
+
+def _host_fingerprint() -> str:
+    """Short fingerprint of the host CPU (ISA feature set + model).
+
+    XLA:CPU cache entries are AOT-compiled for the exact host ISA; the cache
+    KEY does not include host features, so an entry written on one machine
+    can be loaded on another with a different feature set — which SIGILLs or
+    SIGSEGVs inside cpu_aot_loader at deserialization (observed in this repo
+    when a round migrated hosts: jax compilation_cache.get_executable_and_time
+    crashed the test suite). Scoping the cache directory by host fingerprint
+    makes foreign-ISA entries unreachable by construction. TPU entries are
+    serialized for the accelerator and survive host hops — migrate them into
+    a new host's directory with tools/migrate_jax_cache.py.
+    """
+    import hashlib
+
+    try:
+        keep = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    keep.append(line.strip())
+                    if len(keep) >= 2:
+                        break
+        blob = "|".join(keep)
+    except Exception:  # pragma: no cover - non-Linux
+        import platform
+
+        blob = platform.machine() + platform.processor()
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
 # Persistent XLA compilation cache: compile latency dominates small-problem
 # wall time in this environment, and the BO loop's kernels are re-used across
-# runs. Opt out with BOBE_TPU_NO_COMP_CACHE=1.
+# runs. Scoped per host CPU fingerprint (see _host_fingerprint). Opt out with
+# BOBE_TPU_NO_COMP_CACHE=1; BOBE_TPU_COMP_CACHE_DIR overrides the exact
+# directory (no fingerprint scoping applied — caller's responsibility).
 if not os.environ.get("BOBE_TPU_NO_COMP_CACHE"):
-    _cache_dir = os.environ.get(
-        "BOBE_TPU_COMP_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
+    _cache_dir = os.environ.get("BOBE_TPU_COMP_CACHE_DIR")
+    if not _cache_dir:
+        _cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache", "hosts", _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -38,7 +72,106 @@ if not os.environ.get("BOBE_TPU_NO_COMP_CACHE"):
     except Exception:  # pragma: no cover - older jax versions
         pass
 
-_COMPUTE_DTYPE = jnp.float64
+
+def _cpu_cache_put_allowed(platform: str, compile_time) -> bool:
+    """Persist-cache policy for a just-compiled executable (see the guard
+    below): everything passes except XLA:CPU executables whose compile time
+    exceeds BOBE_TPU_CPU_CACHE_MAX_COMPILE_S (default 10 s)."""
+    try:
+        limit = float(os.environ.get("BOBE_TPU_CPU_CACHE_MAX_COMPILE_S",
+                                     "10"))
+        return not (platform == "cpu" and compile_time is not None
+                    and compile_time > limit)
+    except Exception:  # pragma: no cover - guard must never break puts
+        return True
+
+
+def _install_cpu_cache_put_guard() -> None:
+    """Skip persisting very large XLA:CPU executables.
+
+    LoadedExecutable.serialize() for XLA:CPU AOT results is unreliable for
+    very large executables: observed a nondeterministic SIGSEGV inside
+    serialize() while persisting a ~20 s-compile NUTS mega-graph mid-test-
+    suite (and deserialize() of foreign-ISA CPU entries also segfaults —
+    that side is handled by the host-fingerprint cache scoping above). TPU
+    executables round-trip fine. Compile time is the only pre-serialize
+    proxy for executable size, so CPU executables that took longer than
+    BOBE_TPU_CPU_CACHE_MAX_COMPILE_S (default 10 s) are recompiled per
+    process instead of persisted. Raise the threshold at your own risk.
+    """
+    try:
+        from jax._src import compilation_cache as _cc
+    except Exception:  # pragma: no cover - jax internals moved
+        return
+    if getattr(_cc, "_bobe_cpu_put_guard", False):  # idempotent (reimports)
+        return
+    _orig_put = _cc.put_executable_and_time
+
+    def _guarded_put(cache_key, module_name, executable, backend,
+                     compile_time):
+        if not _cpu_cache_put_allowed(getattr(backend, "platform", ""),
+                                      compile_time):
+            return None
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+
+    _cc.put_executable_and_time = _guarded_put
+    _cc._bobe_cpu_put_guard = True
+
+
+def _cpu_cache_get_allowed(platform: str, entry_size: int) -> bool:
+    """Read-side twin of _cpu_cache_put_allowed: on the CPU backend, treat
+    entries above BOBE_TPU_CPU_CACHE_MAX_ENTRY_MB (compressed, default 4 MB)
+    as cache misses instead of deserializing them. deserialize_executable()
+    of very large XLA:CPU AOT results crashes (SIGSEGV/SIGABRT) — observed
+    repeatedly on NUTS/NS mega-graph entries mid-test-suite — and the put
+    guard already stops NEW large CPU entries, so this only shields against
+    entries written before the guard or by other tools."""
+    try:
+        limit_mb = float(os.environ.get("BOBE_TPU_CPU_CACHE_MAX_ENTRY_MB",
+                                        "4"))
+        return not (platform == "cpu" and entry_size > limit_mb * 1e6)
+    except Exception:  # pragma: no cover - guard must never break gets
+        return True
+
+
+def _install_cpu_cache_get_guard() -> None:
+    """See _cpu_cache_get_allowed. Oversized CPU entries read as misses; the
+    graph recompiles in-process (safe) and the put guard keeps it out of the
+    persistent cache."""
+    try:
+        from jax._src import compilation_cache as _cc
+    except Exception:  # pragma: no cover - jax internals moved
+        return
+    if getattr(_cc, "_bobe_cpu_get_guard", False):  # idempotent (reimports)
+        return
+    _orig_get = _cc.get_executable_and_time
+
+    def _guarded_get(cache_key, compile_options, backend, executable_devices):
+        if getattr(backend, "platform", "") == "cpu":
+            try:
+                cache = _cc._get_cache(backend)
+                raw = cache.get(cache_key) if cache is not None else None
+            except Exception:  # pragma: no cover - probe must never break
+                raw = None
+            if raw is not None and not _cpu_cache_get_allowed(
+                    "cpu", len(raw)):
+                return None, None
+        return _orig_get(cache_key, compile_options, backend,
+                         executable_devices)
+
+    _cc.get_executable_and_time = _guarded_get
+    _cc._bobe_cpu_get_guard = True
+
+
+if not os.environ.get("BOBE_TPU_NO_COMP_CACHE"):
+    _install_cpu_cache_put_guard()
+    _install_cpu_cache_get_guard()
+
+# None = "not yet resolved": the backend-dependent default (f32 on TPU, f64
+# on CPU) is probed lazily on first use — see _resolve_default_dtype for why
+# import must not touch the backend.
+_COMPUTE_DTYPE = None
 
 # Row-count padding granularity for GP buffers. 128 matches the TPU lane width /
 # MXU tile so padded Gram matrices map cleanly onto hardware tiles.
@@ -79,6 +212,22 @@ def fit_polish_max_cap() -> int:
     return int(os.environ.get("BOBE_TPU_POLISH_MAX_CAP", 768))
 
 
+def fit_f64_select() -> bool:
+    """Exact-f64 model selection across the f32 fit's restart endpoints.
+
+    The f32 objective's relative jitter floor (models/gp.neg_mll) regularizes
+    identically WITHIN a basin but can invert the ranking BETWEEN basins:
+    measured at d=30/cap=1280, exact f64 MLL preferred the good basin by
+    ~1400 nats while the floored f32 objective preferred a degenerate one
+    (lengthscales pinned, amp ~7e4) by ~1600 — an evidence-catastrophic fit
+    whenever a restart finds that basin. With this on (default), the descent
+    stays f32 on the MXU and only the R-way endpoint argmin is rescored
+    under the exact f64 MLL (host-routed on TPU). Only engages at caps
+    above fit_f64_max_cap (smaller caps already fit fully in f64).
+    Override with BOBE_TPU_F64_SELECT=0."""
+    return os.environ.get("BOBE_TPU_F64_SELECT", "1") != "0"
+
+
 def fit_polish_iters() -> int:
     """L-BFGS iterations for the f64 polish (BOBE_TPU_POLISH_ITERS).
     40 is the measured sweet spot (see fit_polish_max_cap): ~1/5 the cost
@@ -95,24 +244,42 @@ def set_compute_dtype(dtype) -> None:
     _COMPUTE_DTYPE = jnp.float32 if dt == jnp.dtype(jnp.float32) else jnp.float64
 
 
+def _resolve_default_dtype():
+    """Resolve the backend-dependent default compute dtype, LAZILY.
+
+    Default policy: float32 hot-path on TPU (MXU-native; f64 is emulated and
+    both compiles and runs an order of magnitude slower there), float64 on
+    CPU (parity with the reference). The GP state and the evidence integrals
+    stay float64 either way. Override with BOBE_TPU_DTYPE.
+
+    This probe MUST NOT run at import: jax.default_backend() initializes the
+    platform, and importing bobe_tpu happens in processes that must never
+    touch an accelerator — notably MultiprocessPool workers (a second client
+    on a single-process TPU runtime deadlocks; see parallel/pool._mp_init) —
+    and making import itself pay the multi-second TPU client bring-up is
+    wrong even in the orchestrator.
+    """
+    global _COMPUTE_DTYPE
+    if _COMPUTE_DTYPE is not None:
+        return _COMPUTE_DTYPE
+    dt = jnp.float64
+    try:
+        if jax.default_backend() == "tpu":
+            dt = jnp.float32
+    except Exception:  # pragma: no cover - backend probing must never raise
+        pass
+    _COMPUTE_DTYPE = dt
+    return dt
+
+
 def compute_dtype():
     """Current compute dtype for hot-path kernels."""
-    return _COMPUTE_DTYPE
+    return _COMPUTE_DTYPE if _COMPUTE_DTYPE is not None else _resolve_default_dtype()
 
 
 def is_x32() -> bool:
-    return _COMPUTE_DTYPE == jnp.float32
+    return compute_dtype() == jnp.float32
 
-
-# Default policy: float32 hot-path on TPU (MXU-native; f64 is emulated and
-# both compiles and runs an order of magnitude slower there), float64 on CPU
-# (parity with the reference). The GP state and the evidence integrals stay
-# float64 either way. Override with BOBE_TPU_DTYPE.
-try:
-    if jax.default_backend() == "tpu":
-        _COMPUTE_DTYPE = jnp.float32
-except Exception:  # pragma: no cover - backend probing must never fail import
-    pass
 
 _env_dt = os.environ.get("BOBE_TPU_DTYPE")
 if _env_dt:

@@ -342,6 +342,9 @@ def set_hyperparams(state: GPState, cfg: GPTrainConfig, log_params) -> GPState:
     return refresh(state, cfg)
 
 
+_set_hp_jit = jax.jit(set_hyperparams, static_argnums=1)
+
+
 def _cast_state(state: GPState, dtype) -> GPState:
     """Cast the float leaves of a GPState (for reduced-precision fit evals)."""
     cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
@@ -350,14 +353,17 @@ def _cast_state(state: GPState, dtype) -> GPState:
 
 @lru_cache(maxsize=64)
 def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
-              fit_dtype: str = "float64"):
+              fit_dtype: str = "float64", return_all: bool = False):
     """Build (and cache) the jitted end-to-end fit: neg-MLL restarts + state
     refresh, compiled once per (config, capacity-bucket) signature.
 
     fit_dtype='float32' runs the MLL objective (Gram + Cholesky) in f32 on the
-    MXU — hyperparameter *selection* is insensitive to that precision, and the
+    MXU — WITHIN a basin selection is insensitive to that precision, and the
     final state refresh stays f64. The adaptive jitter ladder (ops/chol.py)
-    keeps f32 factorizations finite.
+    keeps f32 factorizations finite. Ranking BETWEEN basins is not f32-safe
+    (the jitter floor can invert it — see _f64_select); ``return_all=True``
+    returns every restart endpoint (all_log (R, n_hp), all_f (R,)) instead of
+    (state, best_log, best_f) so the caller can do exact-f64 selection.
     """
     bounds = hyperparam_bounds_log(cfg, d)
     fdt = jnp.dtype(fit_dtype)
@@ -376,6 +382,10 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
             dsq = jax.lax.optimization_barrier(kr.sq_dist_perdim(state_f.x))
         obj = lambda lp: neg_mll(state_f, cfg, lp.astype(fdt),
                                  dsq_perdim=dsq).astype(jnp.float64)
+        if return_all:
+            return opt_ops.minimize_restarts(
+                obj, x0, bounds=bounds, method=optimizer, maxiter=maxiter,
+                return_all=True)
         best_log, best_f = opt_ops.minimize_restarts(
             obj, x0, bounds=bounds, method=optimizer, maxiter=maxiter
         )
@@ -428,26 +438,23 @@ def _route_f64_to_host() -> bool:
         return False
 
 
-def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
-                  optimizer: str, x0,
-                  host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
-                  ) -> Tuple[np.ndarray, float]:
-    """Run the f64 neg-MLL restarts on the host CPU backend.
+def _host_state_and_aux(state: GPState, d: int,
+                        host_xy: Optional[Tuple[np.ndarray, np.ndarray]],
+                        aux=()):
+    """Rebuild a minimal f64 GPState on the host CPU backend.
 
-    Only (x, y_raw, n, y_mean, y_std) feed the MLL; chol/alpha are rebuilt on
-    the accelerator afterwards by set_hyperparams. With ``host_xy`` (the GP
-    facade's host mirror of the training data) the ONLY device fetch is one
-    bundled hyperparameter/x0 read — device->host round-trips are
-    latency-priced on tunneled TPU setups, and even a few per fit dominate
-    the millisecond host solve. Reuses _fit_core so the objective cannot
-    drift from the device pipeline (the host run's returned state is
-    discarded; only the hyperparameters travel back).
+    Only (x, y_raw, n, y_mean, y_std, hyperparams) feed the MLL; chol/alpha
+    are placeholders (rebuilt on the accelerator by set_hyperparams). With
+    ``host_xy`` (the GP facade's host mirror of the training data) the ONLY
+    device fetch is one bundled hyperparameter read — device->host
+    round-trips are latency-priced on tunneled TPU setups. ``aux``: extra
+    device arrays to fetch in the same bundled device_get; their numpy
+    values are returned alongside the host state.
     """
-    cpu = jax.devices("cpu")[0]
     cap = state.x.shape[0]
-    log_ls, log_amp, log_tausq, x0_np = jax.device_get(
-        [state.log_ls, state.log_amp, state.log_tausq, x0])
     if host_xy is not None:
+        log_ls, log_amp, log_tausq, *aux_np = jax.device_get(
+            [state.log_ls, state.log_amp, state.log_tausq, *aux])
         x_np, y_np = host_xy
         n = int(x_np.shape[0])
         x_pad = np.full((cap, d), 0.5, dtype=np.float64)
@@ -460,26 +467,91 @@ def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
         y_std = float(np.sqrt(((y_np - y_mean) ** 2).sum() / n_f))
         y_std = 1.0 if y_std == 0.0 else y_std
     else:
-        x_pad, y_pad, n, y_mean, y_std = jax.device_get(
-            [state.x, state.y_raw, state.n, state.y_mean, state.y_std])
+        log_ls, log_amp, log_tausq, x_pad, y_pad, n, y_mean, y_std, *aux_np = \
+            jax.device_get([state.log_ls, state.log_amp, state.log_tausq,
+                            state.x, state.y_raw, state.n, state.y_mean,
+                            state.y_std, *aux])
         n = int(n)
+    host_state = GPState(
+        x=jnp.asarray(x_pad, dtype=jnp.float64),
+        y_raw=jnp.asarray(y_pad, dtype=jnp.float64),
+        n=jnp.asarray(n, dtype=jnp.int32),
+        chol=jnp.eye(cap, dtype=jnp.float64),
+        alpha=jnp.zeros((cap,), dtype=jnp.float64),
+        log_ls=jnp.asarray(log_ls),
+        log_amp=jnp.asarray(log_amp),
+        log_tausq=jnp.asarray(log_tausq),
+        y_mean=jnp.asarray(y_mean, dtype=jnp.float64),
+        y_std=jnp.asarray(y_std, dtype=jnp.float64),
+    )
+    return host_state, aux_np
+
+
+def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
+                  optimizer: str, x0,
+                  host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                  ) -> Tuple[np.ndarray, float]:
+    """Run the f64 neg-MLL restarts on the host CPU backend.
+
+    Reuses _fit_core so the objective cannot drift from the device pipeline
+    (the host run's returned state is discarded; only the hyperparameters
+    travel back). See _host_state_and_aux for the transfer discipline.
+    """
+    cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        host_state = GPState(
-            x=jnp.asarray(x_pad, dtype=jnp.float64),
-            y_raw=jnp.asarray(y_pad, dtype=jnp.float64),
-            n=jnp.asarray(n, dtype=jnp.int32),
-            chol=jnp.eye(cap, dtype=jnp.float64),
-            alpha=jnp.zeros((cap,), dtype=jnp.float64),
-            log_ls=jnp.asarray(log_ls),
-            log_amp=jnp.asarray(log_amp),
-            log_tausq=jnp.asarray(log_tausq),
-            y_mean=jnp.asarray(y_mean, dtype=jnp.float64),
-            y_std=jnp.asarray(y_std, dtype=jnp.float64),
-        )
+        host_state, (x0_np,) = _host_state_and_aux(state, d, host_xy, (x0,))
         x0_host = jnp.asarray(x0_np)
         run = _fit_core(cfg, d, maxiter, optimizer, fit_dtype="float64")
         _, best_log, best_f = run(host_state, x0_host)
         return np.asarray(best_log), float(best_f)
+
+
+@lru_cache(maxsize=64)
+def _rescore_core(cfg: GPTrainConfig, d: int):
+    """Jitted batched exact-f64 neg-MLL at candidate hyperparameters."""
+    def run(state, cand_log):
+        state64 = _cast_state(state, jnp.float64)
+        return jax.vmap(lambda lp: neg_mll(state64, cfg, lp))(cand_log)
+    return jax.jit(run)
+
+
+def _f64_select(state: GPState, cfg: GPTrainConfig, d: int,
+                cand_log, cand_f32,
+                host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                ) -> Tuple[np.ndarray, float]:
+    """Select the best restart endpoint under the EXACT f64 neg-MLL.
+
+    The f32 fit objective carries a relative jitter floor (neg_mll) that is
+    harmless within one basin but can INVERT the ranking BETWEEN basins:
+    measured on a d=30 run at cap 1280, exact f64 MLL preferred the good
+    basin by ~1400 nats while the f32-floored objective preferred a
+    degenerate one (lengthscales at the bound, amp ~7e4, near-singular
+    cancellation) by ~1600 nats — an evidence-catastrophic fit. So the
+    descent runs in f32 on the MXU, but model selection across the restart
+    endpoints is done under the exact f64 objective; on TPU the tiny f64
+    rescore routes to the host CPU backend (f64 is XLA-emulated on device).
+
+    Falls back to the f32 ranking if every f64 score is non-finite.
+    """
+    if _route_f64_to_host():
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            host_state, (cand_np, f32_np) = _host_state_and_aux(
+                state, d, host_xy, (cand_log, cand_f32))
+            scores = np.asarray(
+                _rescore_core(cfg, d)(host_state, jnp.asarray(cand_np)))
+    else:
+        cand_np, f32_np, scores = jax.device_get(
+            [cand_log, cand_f32,
+             _rescore_core(cfg, d)(state, jnp.asarray(cand_log))])
+        scores = np.asarray(scores)
+    finite = np.isfinite(scores)
+    if not finite.any():
+        i = int(np.nanargmin(np.where(np.isfinite(f32_np), f32_np, np.inf)))
+        return np.asarray(cand_np[i]), float(f32_np[i])
+    scores = np.where(finite, scores, np.inf)
+    i = int(np.argmin(scores))
+    return np.asarray(cand_np[i]), float(scores[i])
 
 
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
@@ -539,8 +611,21 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
                                          optimizer, x0, host_xy=host_xy)
         new_state = set_hyperparams(state, cfg, jnp.asarray(best_log))
         return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
-    run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
-    new_state, best_log, best_f = run(state, x0)
+    if fit_dtype == "float32" and config.fit_f64_select():
+        # exact-f64 model SELECTION across the f32 restart endpoints: the
+        # f32 jitter floor can invert the between-basin MLL ranking by
+        # thousands of nats at cap > 768 (see _f64_select) — the descent
+        # stays on the MXU, only the R-way argmin runs in f64.
+        run = _fit_core(cfg, d, int(maxiter), optimizer,
+                        fit_dtype="float32", return_all=True)
+        all_log, all_f = run(state, x0)
+        best_np, best_f = _f64_select(state, cfg, d, all_log, all_f,
+                                      host_xy=host_xy)
+        best_log = jnp.asarray(best_np)
+        new_state = _set_hp_jit(state, cfg, best_log)
+    else:
+        run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
+        new_state, best_log, best_f = run(state, x0)
     if (fit_dtype == "float32" and optimizer == "lbfgs"
             and state.x.shape[0] <= config.fit_polish_max_cap()
             and config.fit_polish_iters() > 0):

@@ -23,16 +23,28 @@ import jax.numpy as jnp
 
 SQRT5 = math.sqrt(5.0)
 
-# Optional fused Pallas backend for gram_masked (see its docstring). Read at
-# import; interpret mode engages automatically off-TPU so the wiring stays
-# testable on the CPU suite.
+# Optional fused Pallas backend for gram_masked (see its docstring). The env
+# flag is read at import, but the backend probe is LAZY: jax.default_backend()
+# initializes the platform, and importing bobe_tpu must never touch an
+# accelerator (MultiprocessPool likelihood workers import this module via the
+# package facade — a second client on a single-process TPU runtime deadlocks;
+# see parallel/pool._mp_init and config._resolve_default_dtype).
 _PALLAS_GRAM = os.environ.get("BOBE_TPU_PALLAS_GRAM", "0") == "1"
-try:
-    import jax
+_PALLAS_INTERPRET = None
 
-    _PALLAS_INTERPRET = jax.default_backend() != "tpu"
-except Exception:  # pragma: no cover
-    _PALLAS_INTERPRET = True
+
+def _pallas_interpret() -> bool:
+    """Interpret mode engages automatically off-TPU so the Pallas wiring
+    stays testable on the CPU suite. Resolved on first gram build."""
+    global _PALLAS_INTERPRET
+    if _PALLAS_INTERPRET is None:
+        try:
+            import jax
+
+            _PALLAS_INTERPRET = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            _PALLAS_INTERPRET = True
+    return _PALLAS_INTERPRET
 
 
 def sq_dist(xa, xb):
@@ -115,7 +127,7 @@ def gram_masked(name, x, mask, lengthscales, kernel_variance, noise):
 
         return gram_masked_pallas(name, x, mask, lengthscales,
                                   kernel_variance, noise,
-                                  interpret=_PALLAS_INTERPRET)
+                                  interpret=_pallas_interpret())
     k = cross_kernel(name, x, x, lengthscales, kernel_variance)
     mm = mask[:, None] * mask[None, :]
     eye = jnp.eye(x.shape[0], dtype=k.dtype)

@@ -66,8 +66,13 @@ def minimize_restarts(
     decrease_factor: float = 0.45,
     max_backtracking_steps: int = 3,
     linesearch_store_grad: bool = False,
+    return_all: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize ``fun`` from each row of x0 (R, p); returns (best_x, best_f).
+
+    With ``return_all=True``, returns every restart's endpoint instead:
+    (x_all (R, p), f_all (R,)) — lets callers re-rank the endpoints under a
+    different (e.g. higher-precision) objective than the one descended on.
 
     All restarts advance in lockstep inside one while_loop; a restart retires
     when its best value hasn't improved for ``patience`` steps. NaN
@@ -193,6 +198,13 @@ def minimize_restarts(
 
     _, carry = lax.while_loop(cond, body, (0, carry0))
     best_z, best_v = carry["best_z"], carry["best_v"]
+    if return_all:
+        # clip exactly as the objective did, so the returned x matches the
+        # point whose value was actually evaluated
+        z_all = jnp.clip(best_z, -_Z_CLIP, _Z_CLIP)
+        x_all = (jax.vmap(lambda z: _to_x(z, bounds_arr))(z_all)
+                 if bounds_arr is not None else best_z)
+        return x_all, best_v
     i = jnp.argmin(best_v)
     z_star, f_star = best_z[i], best_v[i]
     x_star = _to_x(z_star, bounds_arr) if bounds_arr is not None else z_star

@@ -93,6 +93,24 @@ _WORKER_LIKELIHOOD = None
 
 def _mp_init(payload, base_seed):
     global _WORKER_LIKELIHOOD
+    # Likelihood workers are host-only by contract (mirrors the reference,
+    # where MPI workers only ever call the user likelihood — pool.py's
+    # workers never touch the surrogate). Pin them to the CPU backend BEFORE
+    # anything can initialize a jax platform: a worker inheriting
+    # JAX_PLATFORMS pointing at an accelerator would race the orchestrator
+    # for the chip (TPU runtimes are single-process per chip; on
+    # tunneled/remote-attached TPUs the second client blocks indefinitely,
+    # deadlocking the whole pool). Override with BOBE_TPU_WORKER_PLATFORM
+    # (set to empty to inherit the ambient platform selection).
+    platform = os.environ.get("BOBE_TPU_WORKER_PLATFORM", "cpu")
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
+        except Exception:  # pragma: no cover - backend already initialized
+            pass
     if isinstance(payload, bytes):  # cloudpickle transport (spawn/forkserver)
         import cloudpickle
 

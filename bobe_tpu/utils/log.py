@@ -26,7 +26,16 @@ _process_index = None
 
 
 def process_index() -> int:
-    """Index of this process in the distributed job (0 if single-process)."""
+    """Index of this process in the distributed job (0 if single-process).
+
+    Deliberately NEVER calls jax.process_index(): that initializes the
+    backend, and the logger is imported in processes that must not touch an
+    accelerator (MultiprocessPool likelihood workers — a second client on a
+    single-process TPU runtime deadlocks) and in the orchestrator long before
+    it wants to pay backend bring-up. The rank comes from the
+    jax.distributed global state (populated by jax.distributed.initialize
+    without any backend involvement) or the JAX_PROCESS_INDEX env var.
+    """
     global _process_index
     if _process_index is None:
         env = os.environ.get("JAX_PROCESS_INDEX")
@@ -34,9 +43,9 @@ def process_index() -> int:
             _process_index = int(env)
         else:
             try:
-                import jax
+                from jax._src import distributed
 
-                _process_index = jax.process_index()
+                _process_index = int(distributed.global_state.process_id or 0)
             except Exception:
                 _process_index = 0
     return _process_index

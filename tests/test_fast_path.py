@@ -112,6 +112,56 @@ def test_f64_polish_improves_selection(monkeypatch):
     assert np.all(np.isfinite(np.asarray(st_pol.chol)))
 
 
+def test_f64_select_overrides_f32_ranking():
+    """_f64_select must rank candidate endpoints under the EXACT f64 MLL,
+    ignoring the f32 objective's (floored) values — the mechanism that
+    prevents the measured d=30 basin inversion (f32 floor preferred a
+    degenerate basin by ~1600 nats that exact f64 rejects by ~1400)."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(50, 2))
+    y = -0.5 * np.sum(((x - 0.5) / 0.2) ** 2, axis=1)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    lp_a = jnp.log(jnp.asarray([0.2, 0.2, 1.0]))      # ls, ls, amp
+    lp_b = jnp.log(jnp.asarray([0.01, 0.01, 1e-3]))   # near-white-noise basin
+    f_a = float(gpm.neg_mll(gp.state, gp.cfg, lp_a))
+    f_b = float(gpm.neg_mll(gp.state, gp.cfg, lp_b))
+    assert abs(f_a - f_b) > 1.0  # the basins are clearly separated in f64
+    cand = jnp.stack([lp_a, lp_b])
+    f64 = np.asarray([f_a, f_b])
+    good, bad = int(np.argmin(f64)), int(np.argmax(f64))
+    # f32 values CLAIM the f64-worse basin wins; selection must ignore them
+    lied_f32 = np.empty(2)
+    lied_f32[bad], lied_f32[good] = f64[good] - 1e3, f64[bad] + 1e3
+    best_log, best_f = gpm._f64_select(gp.state, gp.cfg, 2, cand,
+                                       jnp.asarray(lied_f32))
+    np.testing.assert_allclose(np.asarray(best_log), np.asarray(cand[good]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(best_f, f64[good], rtol=1e-10)
+
+
+def test_f32_fit_reports_exact_f64_mll(monkeypatch):
+    """On the forced-f32 path (cap above F64_FIT_MAX_CAP), fit() must select
+    and report under the exact f64 MLL: info['mll'] == -neg_mll(params)."""
+    from bobe_tpu import config
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(70, 2))
+    y = np.sin(5 * x[:, 0]) - x[:, 1] ** 2 + 0.05 * rng.normal(size=70)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-3)
+
+    monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float32)
+    monkeypatch.setenv("BOBE_TPU_F64_FIT_MAX_CAP", "0")
+    monkeypatch.setenv("BOBE_TPU_POLISH_MAX_CAP", "0")
+    st, info = gpm.fit(gp.state, gp.cfg, maxiter=60, n_restarts=3,
+                       rng=np.random.default_rng(8))
+    exact = float(gpm.neg_mll(gp.state, gp.cfg, jnp.asarray(info["params"])))
+    np.testing.assert_allclose(info["mll"], -exact, rtol=1e-10)
+    # the refreshed state carries the selected hyperparameters
+    np.testing.assert_allclose(np.asarray(st.log_ls),
+                               np.asarray(info["params"][:2]), rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(st.chol)))
+
+
 def test_small_cap_fit_defaults_to_f64(monkeypatch):
     """With a float32 compute dtype, fits at caps <= fit_f64_max_cap must run
     the f64 objective (no jitter floor): selected hyperparameters match a

@@ -251,6 +251,28 @@ def test_minimize_restarts_quadratic():
     assert float(f) < 1e-8
 
 
+def test_minimize_restarts_return_all():
+    """return_all exposes every restart endpoint; its best row must match the
+    default (best-only) return, and f_all must equal fun at each endpoint."""
+    target = jnp.asarray([0.3, -0.2, 0.7])
+    fun = lambda x: jnp.sum((x - target) ** 2)
+    x0 = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, size=(5, 3)))
+    bounds = jnp.asarray([[-1.0], [1.0]]) * jnp.ones((2, 3))
+    x_all, f_all = opt_ops.minimize_restarts(fun, x0, bounds=bounds,
+                                             maxiter=200, return_all=True)
+    assert x_all.shape == (5, 3) and f_all.shape == (5,)
+    x_best, f_best = opt_ops.minimize_restarts(fun, x0, bounds=bounds,
+                                               maxiter=200)
+    i = int(jnp.argmin(f_all))
+    np.testing.assert_allclose(np.asarray(x_all[i]), np.asarray(x_best),
+                               atol=1e-10)
+    np.testing.assert_allclose(float(f_all[i]), float(f_best), atol=1e-10)
+    # reported values are consistent with the returned points
+    for r in range(5):
+        np.testing.assert_allclose(float(fun(x_all[r])), float(f_all[r]),
+                                   atol=1e-8)
+
+
 def test_minimize_restarts_respects_bounds():
     fun = lambda x: jnp.sum(x)  # minimum at the lower bound
     x0 = jnp.asarray([[0.5, 0.5]])

@@ -49,6 +49,31 @@ def test_multiprocess_pool_order_and_values():
         pool.close()
 
 
+def _backend_probe(x):
+    # evaluated IN the worker: forces a jax computation (initializing the
+    # backend there) and reports which platform the worker landed on
+    import jax as worker_jax
+    import jax.numpy as worker_jnp
+
+    s = float(worker_jnp.sum(worker_jnp.asarray(x)))  # noqa: F841
+    return 1.0 if worker_jax.default_backend() == "cpu" else -1.0
+
+
+def test_multiprocess_workers_pinned_to_host_cpu():
+    """Workers must NEVER initialize an accelerator backend: a worker process
+    inheriting JAX_PLATFORMS aimed at a TPU races the orchestrator for the
+    chip and (on tunneled setups) deadlocks the pool. _mp_init pins workers
+    to CPU regardless of the ambient platform selection."""
+    lk = Likelihood(_backend_probe, ["a", "b"], param_bounds=BOUNDS)
+    pool = MultiprocessPool(n_workers=2, seed=0)
+    try:
+        pts = np.random.default_rng(3).uniform(size=(4, 2))
+        vals = pool.run_map_objective(lk, pts)
+        np.testing.assert_allclose(vals, np.ones(4))
+    finally:
+        pool.close()
+
+
 def test_make_pool_auto_is_serial_single_process():
     pool = make_pool("auto")
     assert isinstance(pool, SerialPool)
