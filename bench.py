@@ -152,6 +152,27 @@ def run_tpu_cycle() -> float:
     return (time.time() - t0) / reps
 
 
+def _probe_default_backend(timeout_s: float = 240.0) -> bool:
+    """Initialize the default jax backend in a SUBPROCESS with a timeout.
+
+    On tunnel-attached TPU setups a dead relay makes backend initialization
+    block forever; probing in-process would hang this benchmark (and the
+    driver around it) indefinitely. A subprocess probe converts that into a
+    clean, diagnosable failure.
+    """
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND_OK', jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return "BACKEND_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main():
     if "--baseline-only" in sys.argv:
         dt, fit_s = run_baseline_cpu()
@@ -162,8 +183,20 @@ def main():
                           "baseline_cycle_4rank_s": rank4}))
         return
 
+    if not _probe_default_backend():
+        print("bench.py: default jax backend failed to initialize within the "
+              "probe timeout (accelerator tunnel down?) — no measurement "
+              "possible on the intended device.", file=sys.stderr)
+        sys.exit(3)
+
     ours = run_tpu_cycle()
 
+    # The CPU baseline is measured on THIS machine; a cached measurement from
+    # a different host is meaningless as a denominator, so the cache carries
+    # the host fingerprint and is re-measured on mismatch.
+    from bobe_tpu.config import _host_fingerprint
+
+    host_fp = _host_fingerprint()
     baseline = None
     cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_CYCLE.json")
@@ -172,7 +205,10 @@ def main():
         baseline = float(cached)
     elif os.path.exists(cache_file):
         try:
-            baseline = float(json.load(open(cache_file))["baseline_cycle_s"])
+            blob = json.load(open(cache_file))
+            # legacy files have no host_fp: treat as foreign, re-measure
+            if blob.get("host_fp") == host_fp:
+                baseline = float(blob["baseline_cycle_s"])
         except Exception:
             baseline = None
     if baseline is None:
@@ -182,17 +218,21 @@ def main():
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--baseline-only"],
                 capture_output=True, text=True, timeout=3000, env=env)
+            blob = None
             for line in out.stdout.strip().splitlines()[::-1]:
                 try:
-                    baseline = float(json.loads(line)["baseline_cycle_s"])
+                    blob = json.loads(line)
+                    baseline = float(blob["baseline_cycle_s"])
                     break
                 except Exception:
                     continue
             if baseline is not None:
                 with open(cache_file, "w") as f:
-                    json.dump({"baseline_cycle_s": baseline,
+                    json.dump({**blob, "host_fp": host_fp,
                                "note": "reference-pattern cycle measured on "
-                                       "this machine's CPU (see docstring)"}, f)
+                                       "this machine's CPU (see docstring); "
+                                       "host_fp keys the measurement to the "
+                                       "machine it was taken on"}, f)
         except Exception:
             baseline = None
 

@@ -28,3 +28,18 @@ def _fixed_seed():
 
     set_global_seed(42)
     yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _slim_process_between_modules():
+    """Drop compiled-executable state after each test module.
+
+    XLA:CPU segfaults (SIGSEGV/SIGABRT, nondeterministic) while compiling or
+    (de)serializing the NUTS/NS mega-graphs once the suite process has
+    accumulated a few hundred loaded executables — observed repeatedly at
+    ~97% of the full run, while any subset of the suite passes. Clearing the
+    jit caches between modules keeps the process at subset-scale; recompiles
+    are absorbed by the persistent compile cache for small graphs.
+    """
+    yield
+    jax.clear_caches()
