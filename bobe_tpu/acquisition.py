@@ -104,9 +104,12 @@ def _wip_sweep_core(cfg: gpm.GPTrainConfig, use_std: bool,
             mc_points = jax.lax.with_sharding_constraint(
                 mc_points, batch_sharded(mesh))
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-        V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
-                                 mc_points, ls, amp, cfg.noise)
-        acq = wip_sweep(cfg.kernel, mc_points, V, var, ls, amp, cfg.noise,
+        # kernel math in warp space (identity unless cfg.input_warp)
+        mc_w = gpm.query_coords(state, cfg, mc_points)
+        V, var = posterior_batch(cfg.kernel, gpm.train_coords(state, cfg),
+                                 state.mask(), state.chol,
+                                 mc_w, ls, amp, cfg.noise)
+        acq = wip_sweep(cfg.kernel, mc_w, V, var, ls, amp, cfg.noise,
                         state.y_std, use_std)
         return acq, V, var
 
@@ -130,9 +133,13 @@ def _wip_batch_core(cfg: gpm.GPTrainConfig, use_std: bool, n_batch: int,
             mc_points = jax.lax.with_sharding_constraint(
                 mc_points, batch_sharded(mesh))
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-        V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
-                                 mc_points, ls, amp, cfg.noise)
-        idx, vals = wip_greedy_batch(cfg.kernel, mc_points, V, var, ls, amp,
+        # kernel math in warp space; the RETURNED points must stay raw (they
+        # are evaluated by the likelihood), hence the separate mc_w
+        mc_w = gpm.query_coords(state, cfg, mc_points)
+        V, var = posterior_batch(cfg.kernel, gpm.train_coords(state, cfg),
+                                 state.mask(), state.chol,
+                                 mc_w, ls, amp, cfg.noise)
+        idx, vals = wip_greedy_batch(cfg.kernel, mc_w, V, var, ls, amp,
                                      cfg.noise, state.y_std, use_std, n_batch)
         return mc_points[idx], vals
 

@@ -273,7 +273,19 @@ class GPwithClassifier(GP):
             kernel_variance_prior=kv_prior,
             lengthscale_prior=ls_prior,
             tausq=float(_item(state.get("tausq", 1.0))),
+            input_warp=bool(_item(state.get("input_warp", False))),
+            warp_bounds=tuple(np.asarray(
+                state.get("warp_bounds", (0.25, 4.0))).tolist()),
         )
+        log_wa, log_wb = state.get("log_wa"), state.get("log_wb")
+        if log_wa is not None and log_wb is not None and np.size(log_wa):
+            from .gp import _refresh_jit
+
+            gp.state = gp.state._replace(
+                log_wa=jnp.asarray(np.asarray(log_wa, dtype=np.float64)),
+                log_wb=jnp.asarray(np.asarray(log_wb, dtype=np.float64)))
+            if gp.cfg.input_warp:
+                gp.state = _refresh_jit(gp.state, gp.cfg)
         gp.use_clf = bool(_item(state.get("use_clf", False)))
         clf_params = _item(state.get("clf_params"))
         gp.clf_metrics = _item(state.get("clf_metrics")) or {}

@@ -71,6 +71,12 @@ class GPState(NamedTuple):
     log_tausq: jax.Array  # () log SAAS tausq (unused unless SAAS prior)
     y_mean: jax.Array   # () standardization mean
     y_std: jax.Array    # () standardization std
+    # (d,) log Kumaraswamy input-warp params; identity warp at 0. Only read
+    # when GPTrainConfig.input_warp is on (a beyond-reference capability for
+    # non-stationary posteriors; the reference GP is strictly stationary).
+    # None (the default) keeps old direct constructions working.
+    log_wa: Optional[jax.Array] = None
+    log_wb: Optional[jax.Array] = None
 
     @property
     def cap(self) -> int:
@@ -112,6 +118,12 @@ class GPTrainConfig:
     lengthscale_bounds: tuple = (0.01, 5.0)
     kernel_variance_bounds: tuple = (1e-4, 1e8)
     tausq_bounds: tuple = (1e-4, 1e4)
+    # Kumaraswamy input warping (beyond-reference): per-dimension monotone
+    # CDF warp u = 1-(1-x^a)^b fitted jointly with the kernel hyperparams.
+    # Off by default — the default path is bit-identical to the stationary
+    # GP. warp_bounds bound a and b (identity = 1).
+    input_warp: bool = False
+    warp_bounds: tuple = (0.25, 4.0)
 
 
 # =====================================================================
@@ -132,9 +144,36 @@ def _y_standardized(state: GPState):
     return (state.y_raw - state.y_mean) / state.y_std * mask
 
 
+def kumaraswamy_warp(x, log_wa, log_wb):
+    """Per-dimension Kumaraswamy CDF warp u = 1 - (1 - x^a)^b on [0,1].
+
+    Monotone, differentiable in x and in (a, b) = exp(log_wa/log_wb);
+    identity at a = b = 1. The clip keeps gradients finite at the cube
+    boundary (x^a and (1-x^a)^b have infinite slope there for a, b < 1).
+    """
+    a = jnp.exp(log_wa)[None, :]
+    b = jnp.exp(log_wb)[None, :]
+    xc = jnp.clip(x, 1e-10, 1.0 - 1e-10)
+    return 1.0 - (1.0 - xc ** a) ** b
+
+
+def train_coords(state: GPState, cfg: GPTrainConfig):
+    """Kernel-space coordinates of the training buffer (warped iff enabled)."""
+    if cfg.input_warp:
+        return kumaraswamy_warp(state.x, state.log_wa, state.log_wb)
+    return state.x
+
+
+def query_coords(state: GPState, cfg: GPTrainConfig, xq):
+    """Kernel-space coordinates of query points (warped iff enabled)."""
+    if cfg.input_warp:
+        return kumaraswamy_warp(xq, state.log_wa, state.log_wb)
+    return xq
+
+
 def gram(state: GPState, cfg: GPTrainConfig):
     return kr.gram_masked(
-        cfg.kernel, state.x, state.mask(),
+        cfg.kernel, train_coords(state, cfg), state.mask(),
         jnp.exp(state.log_ls), jnp.exp(state.log_amp), cfg.noise,
     )
 
@@ -188,10 +227,12 @@ def extend(state: GPState, cfg: GPTrainConfig, new_x, new_y) -> GPState:
     xs = xs * acc[:, None] + 0.5 * (1.0 - acc[:, None])
     ys = ys * acc
 
-    # --- block Cholesky extension (pad slots become identity rows)
-    K21 = kr.cross_kernel(cfg.kernel, xs, state.x, ls, amp)
+    # --- block Cholesky extension (pad slots become identity rows).
+    # Kernel matrices live in warp space (dedupe above stays in raw space).
+    xs_k = query_coords(state, cfg, xs)
+    K21 = kr.cross_kernel(cfg.kernel, xs_k, train_coords(state, cfg), ls, amp)
     K21 = K21 * (acc[:, None] * mask[None, :])
-    K22 = kr.cross_kernel(cfg.kernel, xs, xs, ls, amp)
+    K22 = kr.cross_kernel(cfg.kernel, xs_k, xs_k, ls, amp)
     K22 = K22 * (acc[:, None] * acc[None, :])
     K22 = K22 + jnp.diag(cfg.noise * acc + (1.0 - acc))
     L21, L22 = chol_ops.extend_cholesky_block(state.chol, K21, K22)
@@ -230,7 +271,9 @@ def predict_raw(state: GPState, cfg: GPTrainConfig, xq):
     floor clip (gp.py:476-489).
     """
     ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-    K12 = kr.cross_kernel_masked(cfg.kernel, state.x, state.mask(), xq, ls, amp)
+    K12 = kr.cross_kernel_masked(cfg.kernel, train_coords(state, cfg),
+                                 state.mask(), query_coords(state, cfg, xq),
+                                 ls, amp)
     mean = K12.T @ state.alpha
     V = chol_ops.tri_solve(state.chol, K12)
     var = (amp + cfg.noise) - jnp.sum(V * V, axis=0)
@@ -242,7 +285,9 @@ def predict_raw(state: GPState, cfg: GPTrainConfig, xq):
 def predict_mean(state: GPState, cfg: GPTrainConfig, xq):
     """Physical-scale posterior mean at xq (m, d)."""
     ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-    K12 = kr.cross_kernel_masked(cfg.kernel, state.x, state.mask(), xq, ls, amp)
+    K12 = kr.cross_kernel_masked(cfg.kernel, train_coords(state, cfg),
+                                 state.mask(), query_coords(state, cfg, xq),
+                                 ls, amp)
     return (K12.T @ state.alpha) * state.y_std + state.y_mean
 
 
@@ -253,6 +298,13 @@ def predict(state: GPState, cfg: GPTrainConfig, xq):
 
 
 def _parse_log_params(cfg: GPTrainConfig, state: GPState, log_params):
+    """Split the packed log-hyperparameter vector.
+
+    Layout: [log_ls (d)] [log_amp?] [log_tausq?] [log_wa (d), log_wb (d)?] —
+    warp params sit at the END so all pre-existing indices are unchanged.
+    Returns (ls, amp, tausq, log_wa, log_wb); the warp entries fall back to
+    the state's (or None when warping is off).
+    """
     d = state.ndim
     ls = jnp.exp(log_params[:d])
     i = d
@@ -263,9 +315,23 @@ def _parse_log_params(cfg: GPTrainConfig, state: GPState, log_params):
         i += 1
     if cfg.lengthscale_prior == "SAAS":
         tausq = jnp.exp(log_params[i])
+        i += 1
     else:
         tausq = jnp.exp(state.log_tausq)
-    return ls, amp, tausq
+    if cfg.input_warp:
+        log_wa = log_params[i:i + d]
+        log_wb = log_params[i + d:i + 2 * d]
+    else:
+        log_wa, log_wb = state.log_wa, state.log_wb
+    return ls, amp, tausq, log_wa, log_wb
+
+
+def _warp_prior_logprob(cfg: GPTrainConfig, log_wa, log_wb):
+    """Log-normal prior on the warp params: N(0, 0.5^2) on log a and log b,
+    regularizing toward the identity warp unless the data demands curvature
+    (the standard BO input-warping prior, Snoek et al. 2014 style)."""
+    sig2 = 0.25
+    return -0.5 * (jnp.sum(log_wa**2) + jnp.sum(log_wb**2)) / sig2
 
 
 def _prior_logprob(cfg: GPTrainConfig, d: int, ls, amp, tausq):
@@ -303,8 +369,9 @@ def neg_mll(state: GPState, cfg: GPTrainConfig, log_params, dsq_perdim=None):
     ``dsq_perdim``: optional precomputed per-dimension squared distances
     (ops/kernels.sq_dist_perdim) — inside optimizer loops this turns each
     Gram build into a weighted slab reduction instead of a fresh distance
-    computation."""
-    ls, amp, tausq = _parse_log_params(cfg, state, log_params)
+    computation. Ignored under input warping (the kernel coordinates then
+    depend on the warp hyperparameters being optimized)."""
+    ls, amp, tausq, log_wa, log_wb = _parse_log_params(cfg, state, log_params)
     mask = state.mask()
     noise = cfg.noise
     if state.x.dtype == jnp.float32:
@@ -312,13 +379,18 @@ def neg_mll(state: GPState, cfg: GPTrainConfig, log_params, dsq_perdim=None):
         # ~256 * cap * eps32 (relative to the amplitude) keeps the factor
         # finite at cap=1024 (measured on TPU; see ARCHITECTURE.md section 5)
         noise = noise + (256.0 * state.cap * 1.19e-7) * amp
-    if dsq_perdim is not None:
+    if cfg.input_warp:
+        xw = kumaraswamy_warp(state.x, log_wa, log_wb)
+        K = kr.gram_masked(cfg.kernel, xw, mask, ls, amp, noise)
+    elif dsq_perdim is not None:
         K = kr.gram_masked_perdim(cfg.kernel, dsq_perdim, mask, ls, amp, noise)
     else:
         K = kr.gram_masked(cfg.kernel, state.x, mask, ls, amp, noise)
     y = _y_standardized(state)
     mll = mll_ops.gp_mll(K, y, state.n)
     mll = mll + _prior_logprob(cfg, state.ndim, ls, amp, tausq)
+    if cfg.input_warp:
+        mll = mll + _warp_prior_logprob(cfg, log_wa, log_wb)
     return -mll
 
 
@@ -329,16 +401,20 @@ def hyperparam_bounds_log(cfg: GPTrainConfig, d: int) -> jnp.ndarray:
         bounds.append(list(cfg.kernel_variance_bounds))
     if cfg.lengthscale_prior == "SAAS":
         bounds.append(list(cfg.tausq_bounds))
+    if cfg.input_warp:
+        bounds.extend([list(cfg.warp_bounds)] * (2 * d))
     return jnp.log(jnp.asarray(bounds, dtype=jnp.float64).T)
 
 
 def set_hyperparams(state: GPState, cfg: GPTrainConfig, log_params) -> GPState:
-    ls, amp, tausq = _parse_log_params(cfg, state, log_params)
+    ls, amp, tausq, log_wa, log_wb = _parse_log_params(cfg, state, log_params)
     state = state._replace(
         log_ls=jnp.log(ls),
         log_amp=jnp.where(cfg.fixed_kernel_variance, state.log_amp, jnp.log(amp)),
         log_tausq=jnp.log(tausq),
     )
+    if cfg.input_warp:
+        state = state._replace(log_wa=log_wa, log_wb=log_wb)
     return refresh(state, cfg)
 
 
@@ -347,7 +423,9 @@ _set_hp_jit = jax.jit(set_hyperparams, static_argnums=1)
 
 def _cast_state(state: GPState, dtype) -> GPState:
     """Cast the float leaves of a GPState (for reduced-precision fit evals)."""
-    cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+    cast = lambda a: (a.astype(dtype)
+                      if a is not None and jnp.issubdtype(a.dtype, jnp.floating)
+                      else a)
     return GPState(*[cast(leaf) for leaf in state])
 
 
@@ -378,7 +456,9 @@ def _fit_core(cfg: GPTrainConfig, d: int, maxiter: int, optimizer: str,
         cap = state.x.shape[0]
         perdim_bytes = d * cap * cap * state_f.x.dtype.itemsize
         dsq = None
-        if perdim_bytes <= 256 * 1024**2:
+        # (useless under input warping: the kernel coordinates depend on the
+        # warp hyperparameters, so distances change per objective eval)
+        if perdim_bytes <= 256 * 1024**2 and not cfg.input_warp:
             dsq = jax.lax.optimization_barrier(kr.sq_dist_perdim(state_f.x))
         obj = lambda lp: neg_mll(state_f, cfg, lp.astype(fdt),
                                  dsq_perdim=dsq).astype(jnp.float64)
@@ -483,6 +563,10 @@ def _host_state_and_aux(state: GPState, d: int,
         log_tausq=jnp.asarray(log_tausq),
         y_mean=jnp.asarray(y_mean, dtype=jnp.float64),
         y_std=jnp.asarray(y_std, dtype=jnp.float64),
+        log_wa=(None if state.log_wa is None
+                else jnp.asarray(jax.device_get(state.log_wa))),
+        log_wb=(None if state.log_wb is None
+                else jnp.asarray(jax.device_get(state.log_wb))),
     )
     return host_state, aux_np
 
@@ -575,11 +659,22 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             cur.append(state.log_amp[None])
         if cfg.lengthscale_prior == "SAAS":
             cur.append(state.log_tausq[None])
+        if cfg.input_warp:
+            zeros = jnp.zeros((d,), dtype=state.log_ls.dtype)
+            cur.append(state.log_wa if state.log_wa is not None else zeros)
+            cur.append(state.log_wb if state.log_wb is not None else zeros)
         cur = jnp.concatenate(cur)
         n_hp = bounds.shape[1]
         if n_restarts > 1:
             rand = rng.uniform(np.asarray(bounds[0]), np.asarray(bounds[1]),
                                size=(n_restarts - 1, n_hp))
+            if cfg.input_warp:
+                # random restarts keep the warp near identity: wild warps
+                # combined with random lengthscales create spuriously deep
+                # local optima; warp curvature should be data-driven from an
+                # identity start (jitter keeps lanes distinct)
+                rand[:, n_hp - 2 * d:] = rng.normal(
+                    0.0, 0.1, size=(n_restarts - 1, 2 * d))
             x0 = jnp.vstack([cur[None, :], jnp.asarray(rand)])
         else:
             x0 = cur[None, :]
@@ -669,7 +764,8 @@ class GP:
                  lengthscales=None, kernel_variance=None,
                  kernel_variance_prior=None, lengthscale_prior=None,
                  tausq=None, tausq_bounds=(1e-4, 1e4),
-                 param_names: Optional[List[str]] = None):
+                 param_names: Optional[List[str]] = None,
+                 input_warp: bool = False, warp_bounds=(0.25, 4.0)):
         # numpy first: host-origin data stays host-side for the mirror (no
         # device round-trip); device copies are made once below
         train_x_np = np.atleast_2d(np.asarray(train_x, dtype=np.float64))
@@ -698,6 +794,8 @@ class GP:
             lengthscale_bounds=tuple(float(b) for b in lengthscale_bounds),
             kernel_variance_bounds=tuple(float(b) for b in kernel_variance_bounds),
             tausq_bounds=tuple(float(b) for b in tausq_bounds),
+            input_warp=bool(input_warp),
+            warp_bounds=tuple(float(b) for b in warp_bounds),
         )
 
         n = train_x.shape[0]
@@ -718,6 +816,8 @@ class GP:
             log_tausq=jnp.asarray(math.log(tausq)),
             y_mean=jnp.asarray(0.0, dtype=jnp.float64),
             y_std=jnp.asarray(1.0, dtype=jnp.float64),
+            log_wa=jnp.zeros((d,), dtype=jnp.float64),
+            log_wb=jnp.zeros((d,), dtype=jnp.float64),
         )
         self.state = _refresh_jit(self.state, self.cfg)
         # host mirror of the ACTIVE training rows: lets host-routed f64 fits
@@ -876,11 +976,13 @@ class GP:
         physical-scale variance."""
         st, cfg = self.state, self.cfg
         ls, amp = jnp.exp(st.log_ls), jnp.exp(st.log_amp)
-        V, var_mc = posterior_batch(cfg.kernel, st.x, st.mask(), st.chol,
-                                    mc_points, ls, amp, cfg.noise)
-        fv = fantasy_var_single(cfg.kernel, st.x, st.mask(), st.chol,
-                                jnp.asarray(new_x).reshape(-1), mc_points,
-                                V, var_mc, ls, amp, cfg.noise)
+        xt = train_coords(st, cfg)
+        mc_w = query_coords(st, cfg, mc_points)
+        new_w = query_coords(st, cfg, jnp.asarray(new_x).reshape(1, -1))[0]
+        V, var_mc = posterior_batch(cfg.kernel, xt, st.mask(), st.chol,
+                                    mc_w, ls, amp, cfg.noise)
+        fv = fantasy_var_single(cfg.kernel, xt, st.mask(), st.chol,
+                                new_w, mc_w, V, var_mc, ls, amp, cfg.noise)
         return fv * st.y_std**2
 
     # --------------------------------------------------------------- updates
@@ -949,6 +1051,9 @@ class GP:
             hp.append(jnp.exp(self.state.log_amp)[None])
         if self.cfg.lengthscale_prior == "SAAS":
             hp.append(jnp.exp(self.state.log_tausq)[None])
+        if self.cfg.input_warp:
+            hp.append(jnp.exp(self.state.log_wa))
+            hp.append(jnp.exp(self.state.log_wb))
         return jnp.concatenate(hp)
 
     def hyperparams_dict(self):
@@ -990,6 +1095,14 @@ class GP:
             "alphas": np.asarray(self.state.alpha[:n]).reshape(-1, 1),
             "ndim": self.ndim,
             "gp_class": "GP",
+            # beyond-reference input warping: extra keys, absent-tolerant on
+            # load so reference-era state dicts keep round-tripping
+            "input_warp": bool(self.cfg.input_warp),
+            "warp_bounds": list(self.cfg.warp_bounds),
+            "log_wa": (None if self.state.log_wa is None
+                       else np.asarray(self.state.log_wa)),
+            "log_wb": (None if self.state.log_wb is None
+                       else np.asarray(self.state.log_wb)),
         }
 
     @classmethod
@@ -1018,7 +1131,17 @@ class GP:
             lengthscale_prior=ls_prior,
             tausq=state.get("tausq", 1.0),
             tausq_bounds=tuple(np.asarray(state.get("tausq_bounds", (1e-4, 1e4))).tolist()),
+            input_warp=bool(state.get("input_warp", False)),
+            warp_bounds=tuple(np.asarray(
+                state.get("warp_bounds", (0.25, 4.0))).tolist()),
         )
+        log_wa, log_wb = state.get("log_wa"), state.get("log_wb")
+        if log_wa is not None and log_wb is not None and np.size(log_wa):
+            gp.state = gp.state._replace(
+                log_wa=jnp.asarray(np.asarray(log_wa, dtype=np.float64)),
+                log_wb=jnp.asarray(np.asarray(log_wb, dtype=np.float64)))
+            if gp.cfg.input_warp:
+                gp.state = _refresh_jit(gp.state, gp.cfg)
         return gp
 
     def save(self, filename: str = "gp"):

@@ -110,11 +110,14 @@ def _sharded_wip_core(cfg: gpm.GPTrainConfig, use_std: bool, mesh: Mesh):
     @jax.jit
     def run(state, mc_points):
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-        # candidate/mc batch sharded over devices; state replicated
+        # candidate/mc batch sharded over devices; state replicated; kernel
+        # math in warp space (identity unless cfg.input_warp)
         mc_sh = jax.lax.with_sharding_constraint(mc_points, batch_sharded(mesh))
-        V, var = posterior_batch(cfg.kernel, state.x, state.mask(), state.chol,
-                                 mc_sh, ls, amp, cfg.noise)
-        return wip_sweep(cfg.kernel, mc_sh, V, var, ls, amp, cfg.noise,
+        mc_w = gpm.query_coords(state, cfg, mc_sh)
+        V, var = posterior_batch(cfg.kernel, gpm.train_coords(state, cfg),
+                                 state.mask(), state.chol,
+                                 mc_w, ls, amp, cfg.noise)
+        return wip_sweep(cfg.kernel, mc_w, V, var, ls, amp, cfg.noise,
                          state.y_std, use_std)
 
     return run
