@@ -1186,7 +1186,12 @@ class GP:
         gp.param_names = list(other.param_names)
         gp.optimizer_method = other.optimizer_method
         gp.optimizer_options = dict(other.optimizer_options)
-        gp.cfg = GPTrainConfig(kernel=other.cfg.kernel, noise=other.cfg.noise)
+        # priors/bounds are irrelevant to K and deliberately dropped, but the
+        # input warp SHAPES K: the adopted chol lives in warp space, so the
+        # dummy must keep evaluating kernels there
+        gp.cfg = GPTrainConfig(kernel=other.cfg.kernel, noise=other.cfg.noise,
+                               input_warp=other.cfg.input_warp,
+                               warp_bounds=other.cfg.warp_bounds)
         gp.state = other.state  # jax arrays are immutable: safe to share
         if other._host_x is not None:
             gp._host_x = other._host_x.copy()

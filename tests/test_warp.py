@@ -123,6 +123,24 @@ def test_warp_acquisition_consistency():
                                atol=1e-12)
 
 
+def test_dummy_like_keeps_warp_config():
+    """The greedy-batch hallucination clone adopts the warp-space Cholesky,
+    so it must keep evaluating kernels in warp space."""
+    x, y = _warped_data(n=30)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-6,
+                input_warp=True)
+    lp = jnp.concatenate([jnp.asarray([np.log(0.4), 0.0]),
+                          jnp.asarray([0.6]), jnp.asarray([-0.5])])
+    gp.state = gpm.set_hyperparams(gp.state, gp.cfg, lp)
+    dummy = gpm.GP.dummy_like(gp)
+    assert dummy.cfg.input_warp
+    xq = jnp.asarray(np.random.default_rng(17).uniform(0.1, 0.9, (8, 1)))
+    m0, v0 = gpm.predict(gp.state, gp.cfg, xq)
+    m1, v1 = gpm.predict(dummy.state, dummy.cfg, xq)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-12)
+
+
 def test_warp_update_extend_consistent_with_refresh():
     """Incremental extend() must produce the same state as a full refresh
     when warping is active (the kernel blocks are built in warp space)."""
