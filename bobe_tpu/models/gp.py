@@ -532,9 +532,13 @@ def _host_state_and_aux(state: GPState, d: int,
     values are returned alongside the host state.
     """
     cap = state.x.shape[0]
+    warp_leaves = [] if state.log_wa is None else [state.log_wa, state.log_wb]
+    nw = len(warp_leaves)
     if host_xy is not None:
-        log_ls, log_amp, log_tausq, *aux_np = jax.device_get(
-            [state.log_ls, state.log_amp, state.log_tausq, *aux])
+        log_ls, log_amp, log_tausq, *rest = jax.device_get(
+            [state.log_ls, state.log_amp, state.log_tausq, *warp_leaves,
+             *aux])
+        warp_np, aux_np = rest[:nw], rest[nw:]
         x_np, y_np = host_xy
         n = int(x_np.shape[0])
         x_pad = np.full((cap, d), 0.5, dtype=np.float64)
@@ -547,10 +551,11 @@ def _host_state_and_aux(state: GPState, d: int,
         y_std = float(np.sqrt(((y_np - y_mean) ** 2).sum() / n_f))
         y_std = 1.0 if y_std == 0.0 else y_std
     else:
-        log_ls, log_amp, log_tausq, x_pad, y_pad, n, y_mean, y_std, *aux_np = \
+        log_ls, log_amp, log_tausq, x_pad, y_pad, n, y_mean, y_std, *rest = \
             jax.device_get([state.log_ls, state.log_amp, state.log_tausq,
                             state.x, state.y_raw, state.n, state.y_mean,
-                            state.y_std, *aux])
+                            state.y_std, *warp_leaves, *aux])
+        warp_np, aux_np = rest[:nw], rest[nw:]
         n = int(n)
     host_state = GPState(
         x=jnp.asarray(x_pad, dtype=jnp.float64),
@@ -563,10 +568,8 @@ def _host_state_and_aux(state: GPState, d: int,
         log_tausq=jnp.asarray(log_tausq),
         y_mean=jnp.asarray(y_mean, dtype=jnp.float64),
         y_std=jnp.asarray(y_std, dtype=jnp.float64),
-        log_wa=(None if state.log_wa is None
-                else jnp.asarray(jax.device_get(state.log_wa))),
-        log_wb=(None if state.log_wb is None
-                else jnp.asarray(jax.device_get(state.log_wb))),
+        log_wa=jnp.asarray(warp_np[0]) if nw else None,
+        log_wb=jnp.asarray(warp_np[1]) if nw else None,
     )
     return host_state, aux_np
 

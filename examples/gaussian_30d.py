@@ -1,5 +1,7 @@
 """High-dimensional Gaussian toy (30d) — the reference's dimensionality
 envelope test (docs index.rst:28-29). Analytic logZ is known exactly."""
+import os
+
 import numpy as np
 
 from bobe_tpu import BOBE
@@ -17,6 +19,11 @@ def main():
         n_sobol_init=128,
         seed=4,
         save_dir="./results/",
+        # BOBE_TPU_EX_WARP=1: input warping — the open d=30 lead is the
+        # GP-bound width (0.29 at the cap); warping tightened bounds ~40%
+        # on the banana A/B (BENCH_NOTES) and is the candidate fix here
+        gp_kwargs=({"input_warp": True}
+                   if os.environ.get("BOBE_TPU_EX_WARP") == "1" else None),
     )
     results = bobe.run(
         acq="wipstd", min_evals=300, max_evals=1500, max_gp_size=1200,
