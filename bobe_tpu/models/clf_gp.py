@@ -198,7 +198,18 @@ class GPwithClassifier(GP):
                    kernel_variance_prior=self.cfg.kernel_variance_prior,
                    lengthscale_prior=self.cfg.lengthscale_prior,
                    tausq=self.tausq, tausq_bounds=self.cfg.tausq_bounds,
-                   param_names=self.param_names)
+                   param_names=self.param_names,
+                   input_warp=self.cfg.input_warp,
+                   warp_bounds=self.cfg.warp_bounds)
+        if self.cfg.input_warp:
+            # carry the LEARNED warp across the rebuild (a fresh GP starts at
+            # the identity; dropping it would silently un-warp the surrogate
+            # until the next refit) and refactorize in warp space
+            from .gp import _refresh_jit
+
+            fresh.state = fresh.state._replace(log_wa=self.state.log_wa,
+                                               log_wb=self.state.log_wb)
+            fresh.state = _refresh_jit(fresh.state, fresh.cfg)
         self.state = fresh.state
         self._host_x, self._host_y = fresh._host_x, fresh._host_y
 

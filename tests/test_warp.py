@@ -141,6 +141,34 @@ def test_dummy_like_keeps_warp_config():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-12)
 
 
+def test_clf_gp_rebuild_keeps_learned_warp():
+    """A classifier-GP subset rebuild must carry the learned warp (a fresh
+    GP starts at identity, which would silently un-warp the surrogate)."""
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    x, y = _data(n=50)
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, gp_threshold=500.0,
+                          input_warp=True, lengthscale_prior=None)
+    # short lengthscales keep the 50-point Gram well-conditioned so the
+    # interpolation check below is meaningful (ls=1 over the unit square is
+    # near-singular and the jitter ladder would dominate)
+    lp = jnp.concatenate([jnp.log(jnp.full((2,), 0.3)), jnp.zeros(1),
+                          jnp.full((2,), 0.4), jnp.full((2,), -0.3)])
+    gp.state = gpm.set_hyperparams(gp.state, gp.cfg, lp)
+    x_gp, y_gp = gp._filter_gp_subset()
+    gp._rebuild(x_gp, y_gp)
+    np.testing.assert_allclose(np.asarray(gp.state.log_wa), 0.4, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gp.state.log_wb), -0.3, rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(gp.state.chol)))
+    # the rebuilt factor is the warp-space one: predictions at training
+    # points reproduce the targets (near-interpolation at small noise)
+    m, _ = gpm.predict(gp.state, gp.cfg, jnp.asarray(x_gp))
+    # (a raw-space factor against warp-space queries errs at O(0.1); the
+    # residual here is the jitter ladder's regularization)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(y_gp), atol=5e-3)
+
+
 def test_warp_update_extend_consistent_with_refresh():
     """Incremental extend() must produce the same state as a full refresh
     when warping is active (the kernel blocks are built in warp space)."""
