@@ -106,6 +106,27 @@ def test_warp_state_dict_roundtrip():
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6)
 
 
+def test_warp_npz_save_load_roundtrip(tmp_path):
+    """GP.save/GP.load (npz, the crash-recovery/resume format) must carry
+    the warp config and parameters."""
+    x, y = _warped_data(n=40)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-6,
+                input_warp=True)
+    lp = jnp.concatenate([jnp.zeros(2), jnp.full((1,), 0.5),
+                          jnp.full((1,), -0.4)])
+    gp.state = gpm.set_hyperparams(gp.state, gp.cfg, lp)
+    f = str(tmp_path / "gp_warp.npz")
+    gp.save(f)
+    gp2 = gpm.GP.load(f)
+    assert gp2.cfg.input_warp
+    np.testing.assert_allclose(np.asarray(gp2.state.log_wa), 0.5, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gp2.state.log_wb), -0.4, rtol=1e-12)
+    xq = jnp.asarray(np.random.default_rng(21).uniform(0.1, 0.9, (8, 1)))
+    m1, _ = gpm.predict(gp.state, gp.cfg, xq)
+    m2, _ = gpm.predict(gp2.state, gp2.cfg, xq)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-8)
+
+
 def test_warp_acquisition_consistency():
     """The WIP sweep's fantasy math must live in the same (warp) space as
     the posterior: for an identity warp the sweep equals the stationary
