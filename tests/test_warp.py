@@ -106,6 +106,28 @@ def test_warp_state_dict_roundtrip():
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6)
 
 
+def test_saas_prior_composes_with_warp():
+    """SAAS packs tausq between amp and the warp block — the full fit must
+    parse the 11-entry vector (ls 3 + amp + tausq + wa 3 + wb 3) correctly."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(50, 3))
+    y = -np.sum(((x - 0.5) / 0.3) ** 2, 1)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-6,
+                lengthscale_prior="SAAS", input_warp=True)
+    st, info = gpm.fit(gp.state, gp.cfg, maxiter=60, n_restarts=2,
+                       rng=np.random.default_rng(3))
+    assert len(info["params"]) == 3 + 1 + 1 + 6
+    assert np.isfinite(info["mll"])
+    assert np.all(np.isfinite(np.asarray(st.chol)))
+    # round-trip: the state's unpacked params match the packed vector
+    np.testing.assert_allclose(np.asarray(st.log_ls), info["params"][:3],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.log_wa), info["params"][5:8],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.log_wb), info["params"][8:11],
+                               rtol=1e-10)
+
+
 def test_warp_npz_save_load_roundtrip(tmp_path):
     """GP.save/GP.load (npz, the crash-recovery/resume format) must carry
     the warp config and parameters."""
