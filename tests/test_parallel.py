@@ -125,6 +125,35 @@ def test_sharded_wip_sweep_matches_unsharded():
     np.testing.assert_allclose(np.asarray(acq_s), np.asarray(acq_u), rtol=1e-8)
 
 
+def test_graft_entry_probe_parsing(monkeypatch):
+    """_probe_devices parses the subprocess marker line and degrades to 0 on
+    timeout/garbage (a dead accelerator tunnel makes jax.devices() BLOCK, so
+    the driver entries must never count devices in-process when no backend
+    is live — see __graft_entry__)."""
+    import subprocess
+
+    import __graft_entry__ as g
+
+    class FakeOut:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: FakeOut("noise\nNDEV 8\n"))
+    assert g._probe_devices() == 8
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: FakeOut("no marker at all\n"))
+    assert g._probe_devices() == 0
+
+    def raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", raise_timeout)
+    assert g._probe_devices() == 0
+    # in the suite a backend IS live, so the in-process short-circuit holds
+    assert g._devices_if_initialized() >= 8
+
+
 def test_graft_entry_dryrun():
     import sys
 
