@@ -106,6 +106,24 @@ def test_warp_state_dict_roundtrip():
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6)
 
 
+def test_warp_on_f32_fit_path(monkeypatch):
+    """The TPU-style fit pipeline (f32 descent + exact-f64 endpoint
+    selection + f64 polish) must compose with the warp-extended
+    hyperparameter vector and report the exact f64 MLL."""
+    from bobe_tpu import config
+
+    monkeypatch.setattr(config, "_COMPUTE_DTYPE", jnp.float32)
+    monkeypatch.setenv("BOBE_TPU_F64_FIT_MAX_CAP", "0")
+    x, y = _warped_data(n=70)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-6,
+                input_warp=True)
+    st, info = gpm.fit(gp.state, gp.cfg, maxiter=80, n_restarts=3,
+                       rng=np.random.default_rng(2))
+    exact = float(gpm.neg_mll(gp.state, gp.cfg, jnp.asarray(info["params"])))
+    np.testing.assert_allclose(info["mll"], -exact, rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(st.chol)))
+
+
 def test_saas_prior_composes_with_warp():
     """SAAS packs tausq between amp and the warp block — the full fit must
     parse the 11-entry vector (ls 3 + amp + tausq + wa 3 + wb 3) correctly."""
