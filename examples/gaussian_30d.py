@@ -8,7 +8,7 @@ from bobe_tpu import BOBE
 from bobe_tpu.models import toys
 
 
-def main():
+def main(max_gp_size=1200, max_evals=1500, seed=4):
     d = 30
     loglike, bounds, logz_true = toys.make_gaussian(d, sigma=0.12)
     bobe = BOBE(
@@ -17,7 +17,7 @@ def main():
         param_bounds=bounds,
         likelihood_name="gaussian30d",
         n_sobol_init=128,
-        seed=4,
+        seed=seed,
         save_dir="./results/",
         # BOBE_TPU_EX_WARP=1: input warping — the open d=30 lead is the
         # GP-bound width (0.29 at the cap); warping tightened bounds ~40%
@@ -26,7 +26,8 @@ def main():
                    if os.environ.get("BOBE_TPU_EX_WARP") == "1" else None),
     )
     results = bobe.run(
-        acq="wipstd", min_evals=300, max_evals=1500, max_gp_size=1200,
+        acq="wipstd", min_evals=300, max_evals=max_evals,
+        max_gp_size=max_gp_size,
         logz_threshold=1e-1, fit_n_points=16, batch_size=8, ns_n_points=24,
         convergence_n_iters=2, mc_points_size=128,
         # in d=30 the acquisition can stay above the NS gate until the GP
@@ -38,8 +39,17 @@ def main():
         return
     logz = results.get("logz", {})
     print(f"logZ = {logz.get('mean', float('nan')):.3f} "
-          f"(analytic {logz_true:.3f})")
+          f"(analytic {logz_true:.3f})  "
+          f"bounds = ({logz.get('lower', float('nan')):.3f}, "
+          f"{logz.get('upper', float('nan')):.3f})")
+    return results
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    kw = {}
+    for a in sys.argv[1:]:
+        k, _, v = a.partition("=")
+        kw[k] = int(v)
+    main(**kw)
