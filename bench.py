@@ -252,7 +252,8 @@ def main():
         # so the record stays interpretable: the vmapped-lockstep fit is a
         # deliberate TPU trade (batched MXU restarts) and is CPU-hostile.
         metric += (" [CPU fallback: accelerator tunnel down; last TPU "
-                   "measurement 0.3212 s/cycle = 30.1x, BENCH_r02.json]")
+                   "measurement 0.3207 s/cycle = 79.0x vs this host's "
+                   "serial baseline, BENCH_NOTES round 3]")
     print(json.dumps({
         "metric": metric,
         "value": round(ours, 4),

@@ -28,9 +28,12 @@ from .models.classifiers import CLASSIFIER_REGISTRY  # noqa: E402,F401
 from .models.clf_gp import GPwithClassifier  # noqa: E402,F401
 from .models.gp import GP, GPState, GPTrainConfig  # noqa: E402,F401
 from .samplers import nested_sampling, sample_gp_ensemble, sample_gp_nuts  # noqa: E402,F401
+from .utils.core import scale_from_unit, scale_to_unit  # noqa: E402,F401
+from .utils.log import get_logger  # noqa: E402,F401
+from .utils.plot import BOBESummaryPlotter  # noqa: E402,F401
 from .utils.results import BOBEResults  # noqa: E402,F401
 
-__version__ = "0.4.0"
+__version__ = "0.4.1"
 
 __all__ = [
     "BOBE",
@@ -54,4 +57,10 @@ __all__ = [
     "get_mc_points",
     "load_gp_file",
     "config",
+    # utility exports matching the reference facade (__init__.py:58-68)
+    "BOBESummaryPlotter",
+    "get_logger",
+    "setup_logging",
+    "scale_to_unit",
+    "scale_from_unit",
 ]

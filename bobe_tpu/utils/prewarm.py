@@ -89,28 +89,28 @@ class Prewarmer:
 
 # --------------------------------------------------------------------- dummies
 
-def _dummy_gp_like(gp, n_points: int):
-    """Plain-GP facade with ``n_points`` synthetic rows and the live GP's
-    config + hyperparameters — compiles the same graphs as a future live state
-    in the same capacity bucket (graph identity depends only on cfg + shapes).
-    A smooth bowl target keeps dummy NS/HMC executions short and finite."""
-    import jax.numpy as jnp
-
-    from ..models.gp import GP
-
-    rng = np.random.default_rng(_PREWARM_SEED)
-    d = gp.ndim
-    x = rng.uniform(0.05, 0.95, size=(n_points, d))
-    y = -0.5 * np.sum(((x - 0.5) / 0.25) ** 2, axis=1)
-    dummy = GP.__new__(GP)
-    GP.__init__(dummy, train_x=x, train_y=y, noise=float(gp.cfg.noise),
-                kernel="rbf" if gp.cfg.kernel == "rbf" else "matern")
-    # share the live config exactly (priors/bounds feed the static jit keys)
-    dummy.cfg = gp.cfg
-    dummy.state = dummy.state._replace(
-        log_ls=jnp.asarray(gp.state.log_ls),
-        log_amp=jnp.asarray(gp.state.log_amp),
-        log_tausq=jnp.asarray(gp.state.log_tausq))
+def _bucket_crossing_copy(gp):
+    """A throwaway ``gp.copy()`` extended with synthetic points until its
+    padded capacity grows into the NEXT bucket. Because it is a real copy it
+    carries the exact production config — classifier gating, input warp,
+    priors, dtype policy — so every graph compiled against it (static keys =
+    cfg + padded shapes) is a later cache hit for the live GP after growth; a
+    synthetic plain-GP stand-in would silently warm the WRONG graphs for
+    clf-gated or warped runs. Synthetic targets sit 1-2 nats below the
+    incumbent max: inside any classifier-GP's ``gp_threshold`` window (so the
+    points enter the GP subset) without raising the max (so no subset-rebuild
+    path triggers)."""
+    dummy = gp.copy()
+    cap = dummy.state.x.shape[0]
+    need = cap - dummy.gp_size + 1
+    rng = np.random.default_rng(_PREWARM_SEED + 4)
+    new_x = rng.uniform(0.05, 0.95, size=(need, gp.ndim))
+    # RAW targets: train_y is standardized and its max can exceed the raw
+    # incumbent, which would raise the clf-GP's subset cutoff and trigger
+    # the rebuild path this helper promises to avoid
+    y_max = float(np.max(np.asarray(gp.train_y_raw))) if gp.gp_size else 0.0
+    new_y = y_max - 1.0 - rng.uniform(0.0, 1.0, size=need)
+    dummy.update(new_x, new_y)
     return dummy
 
 
@@ -308,7 +308,7 @@ def prewarm_next_bucket(bo) -> Optional[Prewarmer]:
         return None
     acq_names = [getattr(getattr(bo, "acquisition", None), "name", "wipstd")]
     settings = _run_settings(bo, acq_names)
-    dummy = _dummy_gp_like(gp, cap + 1)  # lands in the next bucket
+    dummy = _bucket_crossing_copy(gp)  # lands in the next bucket
     w = Prewarmer()
     w.submit("next-fit", lambda: _warm_fit_and_update(dummy, settings))
     if settings["wip"]:

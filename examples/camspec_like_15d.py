@@ -9,6 +9,8 @@ Gaussian nuisance-like parameters and a hard "theory code failed" region —
 with the evidence known exactly (bobe_tpu/models/toys.make_planck_like at
 d=15), so |dlogZ| <= 0.1 is asserted against truth.
 """
+import os
+
 import numpy as np
 
 from bobe_tpu import BOBE
@@ -32,6 +34,11 @@ def main(max_evals=1500, seed=3):
         seed=seed,
         save=False,
         verbosity="INFO",
+        # BOBE_TPU_EX_WARP=1 enables Kumaraswamy input warping for A/B runs
+        # (curved cosmology degeneracies are the warp's target regime; see
+        # BENCH_NOTES "Input warping A/B")
+        gp_kwargs=({"input_warp": True}
+                   if os.environ.get("BOBE_TPU_EX_WARP") == "1" else None),
     )
     results = bobe.run(
         acq="wipstd", min_evals=240, max_evals=max_evals, max_gp_size=900,

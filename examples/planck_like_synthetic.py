@@ -9,6 +9,8 @@ docs/source/examples/cosmology.rst:278) but its evidence is known exactly
 (bobe_tpu/models/toys.make_planck_like), so |dlogZ| <= 0.1 can be asserted
 against truth rather than against another sampler.
 """
+import os
+
 import numpy as np
 
 from bobe_tpu import BOBE
@@ -34,6 +36,9 @@ def main(max_evals=500, seed=3):
         seed=seed,
         save=False,
         verbosity="INFO",
+        # BOBE_TPU_EX_WARP=1 enables Kumaraswamy input warping for A/B runs
+        gp_kwargs=({"input_warp": True}
+                   if os.environ.get("BOBE_TPU_EX_WARP") == "1" else None),
     )
     results = bobe.run(
         acq="wipstd", min_evals=120, max_evals=max_evals, max_gp_size=600,

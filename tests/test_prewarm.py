@@ -88,6 +88,43 @@ def test_enabled_default_off_on_cpu(monkeypatch):
     assert prewarm.prewarm_enabled() is False
 
 
+def test_bucket_crossing_copy_is_production_faithful():
+    """The next-bucket dummy must be a REAL copy in the next capacity bucket:
+    same class / cfg / warp flag, capacity grown, live GP untouched. A plain
+    synthetic stand-in would warm graphs whose static keys (cfg incl. clf
+    gating and input warp) don't match production's."""
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(124, 3))
+    y = -np.sum(((x - 0.5) / 0.2) ** 2, axis=1) * 30
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, noise=1e-8)
+    cap_before = gp.state.x.shape[0]
+    n_before = gp.gp_size
+    dummy = prewarm._bucket_crossing_copy(gp)
+    assert type(dummy) is type(gp)
+    assert dummy.cfg == gp.cfg  # static jit keys match production
+    assert dummy.state.x.shape[0] > cap_before  # next bucket reached
+    # the synthetic points entered the GP subset (no silent clf filtering)
+    assert dummy.gp_size == cap_before + 1
+    # and never raised the incumbent RAW max (no subset-rebuild path)
+    assert float(np.max(np.asarray(dummy.train_y_raw))) == pytest.approx(
+        float(np.max(np.asarray(gp.train_y_raw))))
+    # live GP untouched
+    assert gp.state.x.shape[0] == cap_before and gp.gp_size == n_before
+
+
+def test_bucket_crossing_copy_preserves_input_warp():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(126, 2))
+    y = -np.sum(((x - 0.5) / 0.3) ** 2, axis=1)
+    gp = GP(train_x=x, train_y=y, noise=1e-8, input_warp=True)
+    dummy = prewarm._bucket_crossing_copy(gp)
+    assert dummy.cfg.input_warp and dummy.cfg == gp.cfg
+    assert dummy.state.x.shape[0] > gp.state.x.shape[0]
+
+
 def test_prewarm_with_classifier_gp():
     """Cosmology-regime prewarm: the gated sampler/NS graphs and the clf-GP
     fit/update path must warm without errors."""
