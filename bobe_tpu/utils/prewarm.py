@@ -210,7 +210,13 @@ def _warm_fit_and_update(gp, settings: dict) -> None:
     batch = int(settings.get("batch_size", 4))
     dummy = gp.copy()
     new_x = rng.uniform(0.05, 0.95, size=(batch, d))
-    new_y = -0.5 * np.sum(((new_x - 0.5) / 0.25) ** 2, axis=1)
+    # targets just below the incumbent RAW max: enter any clf-GP's subset
+    # without raising the cutoff (same reasoning as _bucket_crossing_copy —
+    # a bowl target could exceed the incumbent and compile the subset-rebuild
+    # graph instead of the production batch-update graph)
+    y_max = (float(np.max(np.asarray(dummy.train_y_raw)))
+             if dummy.gp_size else 0.0)
+    new_y = y_max - 1.0 - rng.uniform(0.0, 1.0, size=batch)
     dummy.update(new_x, new_y)
     maxiter, n_restarts = _fit_plan(dummy.npoints)
     dummy.fit(n_restarts=n_restarts, maxiter=maxiter, rng=rng)
