@@ -8,7 +8,7 @@ from bobe_tpu import BOBE
 from bobe_tpu.models import toys
 
 
-def main(max_gp_size=1200, max_evals=1500, seed=4):
+def main(max_gp_size=1200, max_evals=1500, seed=4, resume=0):
     d = 30
     loglike, bounds, logz_true = toys.make_gaussian(d, sigma=0.12)
     bobe = BOBE(
@@ -19,6 +19,11 @@ def main(max_gp_size=1200, max_evals=1500, seed=4):
         n_sobol_init=128,
         seed=seed,
         save_dir="./results/",
+        # resume=1 continues from ./results/gaussian30d_* checkpoints (long
+        # d=30 runs are checkpointed every save_step iterations, so a killed
+        # run loses at most a few batches)
+        resume=bool(resume),
+        resume_file="./results/gaussian30d" if resume else None,
         # BOBE_TPU_EX_WARP=1: input warping — the open d=30 lead is the
         # GP-bound width (0.29 at the cap); warping tightened bounds ~40%
         # on the banana A/B (BENCH_NOTES) and is the candidate fix here
