@@ -25,6 +25,7 @@ code and tests translate one-to-one.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import lru_cache, partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
@@ -1151,8 +1152,14 @@ class GP:
         if not filename.endswith(".npz"):
             filename += ".npz"
         sd = self.state_dict()
-        np.savez(filename, **{k: np.asarray(v, dtype=object) if isinstance(v, (dict, type(None))) else v
-                              for k, v in sd.items()})
+        # atomic replace: this is the crash-recovery checkpoint — a process
+        # killed mid-write (timeouts, preemption) must never corrupt the
+        # previous good checkpoint
+        tmp = filename + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **{k: np.asarray(v, dtype=object) if isinstance(v, (dict, type(None))) else v
+                           for k, v in sd.items()})
+        os.replace(tmp, filename)
         log.info(f"Saved GP state to {filename}")
 
     @classmethod

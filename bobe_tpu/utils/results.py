@@ -280,8 +280,11 @@ class BOBEResults:
         if not name.endswith("_intermediate") and filename is None:
             name = f"{name}_intermediate"
         path = self._path(name if name.endswith(".json") else f"{name}.json")
-        with open(path, "w") as f:
+        # atomic replace: crash-recovery state must survive a kill mid-write
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
             json.dump(self._state_json(), f, indent=2, cls=_JSONEncoder)
+        os.replace(tmp, path)
         if gp is not None:
             gp.save(self._path(f"{filename or self.output_file}_gp"))
         log.debug(f"Saved intermediate results to {path}")
