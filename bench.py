@@ -251,9 +251,12 @@ def main():
         # label the degraded mode AND the last real accelerator measurement
         # so the record stays interpretable: the vmapped-lockstep fit is a
         # deliberate TPU trade (batched MXU restarts) and is CPU-hostile.
-        metric += (" [CPU fallback: accelerator tunnel down; last TPU "
-                   "measurement 0.3207 s/cycle = 79.0x vs this host's "
-                   "serial baseline, BENCH_NOTES round 3]")
+        # cite the absolute TPU number only: the speedup denominator is
+        # per-host (re-measured above), so a ratio recorded on a different
+        # host would be wrong here
+        metric += (" [CPU fallback: accelerator tunnel down; last real-TPU "
+                   "measurement 0.3207 s/cycle on a v5e via relay, "
+                   "BENCH_NOTES round 3]")
     print(json.dumps({
         "metric": metric,
         "value": round(ours, 4),

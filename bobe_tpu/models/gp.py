@@ -1159,6 +1159,8 @@ class GP:
         with open(tmp, "wb") as f:
             np.savez(f, **{k: np.asarray(v, dtype=object) if isinstance(v, (dict, type(None))) else v
                            for k, v in sd.items()})
+            f.flush()
+            os.fsync(f.fileno())  # rename must not outlive the data on crash
         os.replace(tmp, filename)
         log.info(f"Saved GP state to {filename}")
 

@@ -89,28 +89,41 @@ class Prewarmer:
 
 # --------------------------------------------------------------------- dummies
 
-def _bucket_crossing_copy(gp):
+def _synthetic_targets(gp, rng, n: int) -> np.ndarray:
+    """RAW targets strictly below the incumbent max (so no clf-GP
+    subset-rebuild path triggers) yet strictly inside any classifier-GP's
+    ``gp_threshold`` window (so the points enter the GP subset instead of
+    being silently filtered — a filtered point warms the WRONG graphs).
+    train_y is standardized and its max can exceed the raw incumbent, so the
+    anchor must be the raw max."""
+    y_max = float(np.max(np.asarray(gp.train_y_raw))) if gp.gp_size else 0.0
+    thr = getattr(gp, "gp_threshold", None)
+    # offset band [off, 2*off] below the max; 2*off < gp_threshold keeps the
+    # points inside the subset window for ANY threshold (incl. thr <= 2)
+    off = 0.5 if not thr else min(0.5, float(thr) / 4.0)
+    return y_max - off - rng.uniform(0.0, off, size=n)
+
+
+def _bucket_crossing_copy(gp, batch: int):
     """A throwaway ``gp.copy()`` extended with synthetic points until its
     padded capacity grows into the NEXT bucket. Because it is a real copy it
     carries the exact production config — classifier gating, input warp,
     priors, dtype policy — so every graph compiled against it (static keys =
     cfg + padded shapes) is a later cache hit for the live GP after growth; a
     synthetic plain-GP stand-in would silently warm the WRONG graphs for
-    clf-gated or warped runs. Synthetic targets sit 1-2 nats below the
-    incumbent max: inside any classifier-GP's ``gp_threshold`` window (so the
-    points enter the GP subset) without raising the max (so no subset-rebuild
-    path triggers)."""
+    clf-gated or warped runs.
+
+    Points are added in ``batch``-wide chunks: production only ever extends
+    by ``batch_size``, and jitted extend graphs are shape-keyed — a single
+    ``need``-wide update would compile a one-off graph no production call
+    reuses (and a different one at every crossing)."""
     dummy = gp.copy()
     cap = dummy.state.x.shape[0]
     need = cap - dummy.gp_size + 1
     rng = np.random.default_rng(_PREWARM_SEED + 4)
-    new_x = rng.uniform(0.05, 0.95, size=(need, gp.ndim))
-    # RAW targets: train_y is standardized and its max can exceed the raw
-    # incumbent, which would raise the clf-GP's subset cutoff and trigger
-    # the rebuild path this helper promises to avoid
-    y_max = float(np.max(np.asarray(gp.train_y_raw))) if gp.gp_size else 0.0
-    new_y = y_max - 1.0 - rng.uniform(0.0, 1.0, size=need)
-    dummy.update(new_x, new_y)
+    for _ in range((need + batch - 1) // batch):
+        new_x = rng.uniform(0.05, 0.95, size=(batch, gp.ndim))
+        dummy.update(new_x, _synthetic_targets(gp, rng, batch))
     return dummy
 
 
@@ -210,14 +223,11 @@ def _warm_fit_and_update(gp, settings: dict) -> None:
     batch = int(settings.get("batch_size", 4))
     dummy = gp.copy()
     new_x = rng.uniform(0.05, 0.95, size=(batch, d))
-    # targets just below the incumbent RAW max: enter any clf-GP's subset
-    # without raising the cutoff (same reasoning as _bucket_crossing_copy —
+    # targets just below the incumbent RAW max but inside the subset window:
     # a bowl target could exceed the incumbent and compile the subset-rebuild
-    # graph instead of the production batch-update graph)
-    y_max = (float(np.max(np.asarray(dummy.train_y_raw)))
-             if dummy.gp_size else 0.0)
-    new_y = y_max - 1.0 - rng.uniform(0.0, 1.0, size=batch)
-    dummy.update(new_x, new_y)
+    # graph instead of the production batch-update graph, and a too-low one
+    # is filtered out of a tight-threshold clf-GP entirely
+    dummy.update(new_x, _synthetic_targets(dummy, rng, batch))
     maxiter, n_restarts = _fit_plan(dummy.npoints)
     dummy.fit(n_restarts=n_restarts, maxiter=maxiter, rng=rng)
 
@@ -314,11 +324,28 @@ def prewarm_next_bucket(bo) -> Optional[Prewarmer]:
         return None
     acq_names = [getattr(getattr(bo, "acquisition", None), "name", "wipstd")]
     settings = _run_settings(bo, acq_names)
-    dummy = _bucket_crossing_copy(gp)  # lands in the next bucket
+    batch = int(getattr(bo, "batch_size", 4))
+    # the dummy build itself is expensive (device fetch of the state_dict +
+    # chunked extends across the bucket boundary), so it too runs on the
+    # background threads: the FIRST warm to run builds it under a lock, the
+    # rest reuse it. Building off-thread is read-only with respect to the
+    # live GP (state pytrees are immutable; state_dict only reads), so a
+    # concurrent production update can at worst make this prewarm a no-op.
+    box: dict = {}
+    box_lock = threading.Lock()
+
+    def _dummy():
+        with box_lock:
+            if "gp" not in box:
+                box["gp"] = _bucket_crossing_copy(gp, batch)
+            return box["gp"]
+
     w = Prewarmer()
-    w.submit("next-fit", lambda: _warm_fit_and_update(dummy, settings))
+    w.submit("next-fit", lambda: _warm_fit_and_update(_dummy(), settings))
     if settings["wip"]:
-        w.submit("next-sampler", lambda: _warm_sampler(dummy, settings))
-        w.submit("next-acquisition", lambda: _warm_acquisition(dummy, settings))
-        w.submit("next-ns", lambda: _warm_nested(dummy, settings, "convergence"))
+        w.submit("next-sampler", lambda: _warm_sampler(_dummy(), settings))
+        w.submit("next-acquisition",
+                 lambda: _warm_acquisition(_dummy(), settings))
+        w.submit("next-ns",
+                 lambda: _warm_nested(_dummy(), settings, "convergence"))
     return w

@@ -284,6 +284,8 @@ class BOBEResults:
         tmp = f"{path}.tmp"
         with open(tmp, "w") as f:
             json.dump(self._state_json(), f, indent=2, cls=_JSONEncoder)
+            f.flush()
+            os.fsync(f.fileno())  # rename must not outlive the data on crash
         os.replace(tmp, path)
         if gp is not None:
             gp.save(self._path(f"{filename or self.output_file}_gp"))

@@ -53,8 +53,12 @@ def main(max_gp_size=1200, max_evals=1500, seed=4, resume=0):
 if __name__ == "__main__":
     import sys
 
+    allowed = ("max_gp_size", "max_evals", "seed", "resume")
     kw = {}
     for a in sys.argv[1:]:
-        k, _, v = a.partition("=")
+        k, sep, v = a.partition("=")
+        if not sep or k not in allowed or not v.lstrip("-").isdigit():
+            sys.exit(f"usage: {sys.argv[0]} "
+                     + " ".join(f"[{k}=N]" for k in allowed))
         kw[k] = int(v)
     main(**kw)

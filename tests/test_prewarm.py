@@ -102,12 +102,16 @@ def test_bucket_crossing_copy_is_production_faithful():
                           clf_use_size=10, noise=1e-8)
     cap_before = gp.state.x.shape[0]
     n_before = gp.gp_size
-    dummy = prewarm._bucket_crossing_copy(gp)
+    batch = 4
+    dummy = prewarm._bucket_crossing_copy(gp, batch)
     assert type(dummy) is type(gp)
     assert dummy.cfg == gp.cfg  # static jit keys match production
     assert dummy.state.x.shape[0] > cap_before  # next bucket reached
-    # the synthetic points entered the GP subset (no silent clf filtering)
-    assert dummy.gp_size == cap_before + 1
+    # EVERY synthetic point entered the GP subset (no silent clf filtering),
+    # in production-shaped batch-wide chunks
+    need = cap_before - n_before + 1
+    n_chunks = -(-need // batch)
+    assert dummy.gp_size == n_before + n_chunks * batch
     # and never raised the incumbent RAW max (no subset-rebuild path)
     assert float(np.max(np.asarray(dummy.train_y_raw))) == pytest.approx(
         float(np.max(np.asarray(gp.train_y_raw))))
@@ -120,9 +124,32 @@ def test_bucket_crossing_copy_preserves_input_warp():
     x = rng.uniform(size=(126, 2))
     y = -np.sum(((x - 0.5) / 0.3) ** 2, axis=1)
     gp = GP(train_x=x, train_y=y, noise=1e-8, input_warp=True)
-    dummy = prewarm._bucket_crossing_copy(gp)
+    dummy = prewarm._bucket_crossing_copy(gp, 4)
     assert dummy.cfg.input_warp and dummy.cfg == gp.cfg
     assert dummy.state.x.shape[0] > gp.state.x.shape[0]
+
+
+def test_bucket_crossing_copy_tight_clf_threshold():
+    """gp_threshold <= 2 used to silently filter the synthetic points (they
+    sat 1-2 nats below the max, outside the subset window), so the dummy
+    never crossed the bucket and the crossing warmed the WRONG graphs."""
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(size=(124, 3))
+    # gentle bowl: every training point stays inside the 1.5-nat window, so
+    # the bucket crossing is imminent and only the SYNTHETIC points (which
+    # the old 1-2-nat offset placed outside it) are at filtering risk
+    y = -np.sum((x - 0.5) ** 2, axis=1)
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, noise=1e-8, gp_threshold=1.5)
+    n_before, batch = gp.gp_size, 4
+    dummy = prewarm._bucket_crossing_copy(gp, batch)
+    assert dummy.state.x.shape[0] > gp.state.x.shape[0]
+    need = gp.state.x.shape[0] - n_before + 1
+    assert dummy.gp_size == n_before + -(-need // batch) * batch
+    assert float(np.max(np.asarray(dummy.train_y_raw))) == pytest.approx(
+        float(np.max(np.asarray(gp.train_y_raw))))
 
 
 def test_prewarm_with_classifier_gp():
