@@ -107,6 +107,7 @@ def run_ensemble(logprob_apply, ctx, init_z, key, num_warmup=128,
     vg = jax.vmap(vg1)
 
     k_eps, k_warm, k_run = random.split(key, 3)
+    logp0, grad0 = vg(init_z)
     if warm is not None and not adapt_mass:
         eps_w, mass_inv, mass_chol = warm
         mass = MassMatrix(mass_inv, mass_chol)
@@ -115,11 +116,12 @@ def run_ensemble(logprob_apply, ctx, init_z, key, num_warmup=128,
         mass = (MassMatrix(jnp.eye(d, dtype=dt), jnp.eye(d, dtype=dt))
                 if dense_mass else
                 MassMatrix(jnp.ones(d, dt), jnp.ones(d, dt)))
-        eps0 = _find_reasonable_eps(vg1, jnp.mean(init_z, axis=0), k_eps,
+        # anchor the doubling search at the best-logp init: the cross-chain
+        # MEAN can sit on a classifier-gated plateau (or between modes) where
+        # the gradient vanishes and the search would double eps to the clip
+        eps0 = _find_reasonable_eps(vg1, init_z[jnp.argmax(logp0)], k_eps,
                                     mass, dense_mass)
     da = _da_init(eps0)
-
-    logp0, grad0 = vg(init_z)
     is_mass_update = (_warmup_schedule(num_warmup) if adapt_mass
                       else jnp.zeros(num_warmup, bool))
 

@@ -57,15 +57,14 @@ class NSResult(NamedTuple):
     #   evidence integrals must start their first volume shell here)
 
 
-def _slice_directions(key, live_x, n_dir, mask):
+def _slice_directions(key, live_x, n_dir):
     """Directions from the live-set empirical covariance (whitened sampling).
 
     live_x: (nlive, d); returns (n_dir, d) unnormalized direction vectors.
     """
     nlive, d = live_x.shape
-    w = mask / jnp.sum(mask)
-    mean = jnp.sum(live_x * w[:, None], axis=0)
-    xc = (live_x - mean) * jnp.sqrt(w)[:, None]
+    mean = jnp.mean(live_x, axis=0)
+    xc = (live_x - mean) / jnp.sqrt(jnp.asarray(nlive, live_x.dtype))
     cov = xc.T @ xc + 1e-10 * jnp.eye(d, dtype=live_x.dtype)
     chol = jnp.linalg.cholesky(cov)
     z = random.normal(key, (n_dir, d), dtype=live_x.dtype)
@@ -126,7 +125,7 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
         def one_repeat(carry, rep_key):
             x_cur, l_cur = carry
             k_d, k_u, k_s = random.split(rep_key, 3)
-            e = _slice_directions(k_d, live_x, K, jnp.ones(nlive, dt))  # (K, d)
+            e = _slice_directions(k_d, live_x, K)  # (K, d)
             lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
 
             def shrink_body(c):
@@ -264,7 +263,12 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
     if n_repeats is None:
         n_repeats = max(3, int(math.ceil(1.5 * d)))
     if max_dead is None:
-        max_dead = int(min(200_000, max(20_000, nlive * 80)))
+        # converged runs need ~nlive * (H + ln nlive) deaths; the nlive * 80
+        # headroom covers H + ln nlive ~ 80, and the clamp must scale with
+        # nlive or boosted final-precision runs (nlive up to 8x the base)
+        # exhaust the buffer mid-compression (dead_x is max_dead * d f64:
+        # ~184 MB at nlive=9600, d=30 — fine on TPU HBM and host RAM)
+        max_dead = int(min(1_000_000, max(20_000, nlive * 80)))
     max_dead = ((max_dead + K - 1) // K) * K  # multiple of K
 
     # Segmented dispatch: run the jitted loop in bounded call-budget chunks
@@ -281,10 +285,11 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
 
     seg_target = float(_os.environ.get("BOBE_TPU_NS_SEGMENT_S", "60"))
     chunk_env = _os.environ.get("BOBE_TPU_NS_CHUNK_CALLS")
-    fixed_chunk = int(chunk_env) if chunk_env else None
+    fixed_chunk = int(chunk_env) if chunk_env is not None else None
     # small first segment to measure the call rate cheaply (~2% of a typical
-    # converged run's 100*nlive*n_repeats budget)
-    chunk = fixed_chunk if fixed_chunk else 2 * nlive * int(n_repeats)
+    # converged run's 100*nlive*n_repeats budget). fixed_chunk == 0 disables
+    # segmenting (budget = maxcall below -> one dispatch)
+    chunk = fixed_chunk if fixed_chunk is not None else 2 * nlive * int(n_repeats)
     carry = None
     calls_done = 0
     while True:
@@ -352,6 +357,18 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
             f"NS terminated on maxcall={maxcall} before reaching dlogz="
             f"{dlogz} (n_iter={int(n_iter)}); logZ is truncated low — raise "
             "maxcall (samplers.nested_sampling scales it automatically)")
+    elif n_dead + K > max_dead and warn_truncation:
+        # the dead-point buffer (a static while_loop shape) ran out — warn
+        # only if the stopping rule had NOT fired (previously this was a
+        # SILENT truncation path)
+        delta_end = float(np.logaddexp(logz, np.max(np.asarray(live_logl))
+                                       + logvol) - logz)
+        if delta_end > dlogz:
+            log.warning(
+                f"NS terminated on the max_dead={max_dead} buffer before "
+                f"reaching dlogz={dlogz} (n_iter={int(n_iter)}, remaining "
+                f"delta={delta_end:.3g}); logZ is truncated low — pass a "
+                "larger max_dead")
     success = bool(n_dead > 0 and not np.all(all_logl == all_logl[0]))
     return NSResult(all_x, all_logl, all_lv, float(logz), int(calls),
                     int(n_iter), nlive, success, schedule, float(logvol0))
@@ -371,7 +388,7 @@ def _decorrelate(loglike_apply, ctx, x0, l0, lstar, key,
     def one_repeat(carry, rep_key):
         x_cur, l_cur = carry
         k_d, k_s = random.split(rep_key)
-        e = _slice_directions(k_d, x_cur, n, jnp.ones(n, dt))
+        e = _slice_directions(k_d, x_cur, n)
         lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
 
         def shrink_body(c):
@@ -519,9 +536,13 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     # batch's early deaths are literal copies of base deaths and the merged
     # volume schedule double-shrinks (measured -0.5 logZ bias on a d=4 toy)
     k_batch, k_dec = random.split(k_batch)
-    n_rep = max(3, int(math.ceil(1.5 * d)))
+    # decorrelation depth must match the runs' slice depth: samplers.py
+    # raises n_repeats to 3d for d >= 10 (1.5d leaves clones correlated —
+    # measured +0.24 logZ bias at d=15), and the batch seeds are exact
+    # duplicates of base deaths, the worst case for residual correlation
+    n_rep = ns_kwargs.get("n_repeats") or max(3, int(math.ceil(1.5 * d)))
     bx, bl, dec_calls = _decorrelate(loglike_apply, ctx, bx, bl,
-                                     jnp.asarray(l_lo), k_dec, n_rep, 40)
+                                     jnp.asarray(l_lo), k_dec, int(n_rep), 40)
 
     batch = run_nested(loglike_apply, ctx, d, k_batch, nlive=nlive_batch,
                        dlogz=dlogz, maxcall=maxcall, live_x=bx, live_logl=bl,

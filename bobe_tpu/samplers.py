@@ -120,15 +120,28 @@ def _seed_live_points(gp, loglike, nlive, ndim, rng):
             # binomial delta-method error of log(f_hat)
             var_logvol0 = (1.0 - f_hat) / (n_drawn * f_hat)
             return fx[idx], fl[idx], float(np.log(f_hat)), float(var_logvol0)
-    # fall back (essentially no feasible volume found by uniform proposals):
-    # reference-style mixed live set, one forced-valid point, no volume shift
-    log.warning(
-        f"live seeding found only {n_feas}/{n_drawn} feasible points; "
-        "falling back to a mixed live set (logZ may carry plateau bias)")
-    x = rng.uniform(size=(nlogl, ndim))
-    logl = np.asarray(loglike(jnp.asarray(x)))
-    idx = rng.choice(nlogl, size=nlive, replace=False)
-    lx, ll = x[idx], logl[idx]
+    # fall back: reference-style mixed live set with no volume shift. KEEP
+    # every feasible point already found (a previous version redrew a fresh
+    # pool and discarded up to nlive-1 feasible points it was holding,
+    # starting NS from an essentially all-plateau live set) and top up with
+    # fresh uniform draws — drawn directly at the needed size, so nlive
+    # larger than the proposal pool cannot crash the choice().
+    if n_feas < nlive:
+        log.warning(
+            f"live seeding found only {n_feas}/{n_drawn} feasible points; "
+            "falling back to a mixed live set (logZ may carry plateau bias)")
+    else:
+        log.warning(
+            "live seeding found enough feasible points but their logl is "
+            "constant; mixed live set, logZ may carry plateau bias")
+    n_keep = min(n_feas, nlive)
+    lx = np.empty((nlive, ndim))
+    ll = np.empty(nlive)
+    lx[:n_keep], ll[:n_keep] = fx[:n_keep], fl[:n_keep]
+    if n_keep < nlive:
+        x = rng.uniform(size=(nlive - n_keep, ndim))
+        lx[n_keep:] = x
+        ll[n_keep:] = np.asarray(loglike(jnp.asarray(x)))
     if np.all(ll == ll[0]):
         pt = gp.get_random_point(rng=rng, nstd=1.0)
         lx[0] = pt
@@ -352,6 +365,93 @@ def _nuts_runner(apply, warmup_steps, num_samples, thinning, dense_mass,
         in_axes=(None, 0, 0)))
 
 
+def _gated_apply_ctx(gp, temp):
+    """(clf, tempered logprob apply, ctx) — classifier-gated when active.
+    Shared by the NUTS and ensemble refreshes so the gating selection can
+    never drift between them."""
+    clf = getattr(gp, "_clf_ctx", None)
+    if clf is not None:
+        apply = _nuts_logprob_apply(gp.cfg, True,
+                                    float(gp.probability_threshold),
+                                    float(gp.minus_inf), gp.clf_type,
+                                    float(temp))
+        return clf, apply, (gp.state, clf)
+    return (None, _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp)),
+            gp.state)
+
+
+def _cold_logit_inits(gp, num_chains, np_rng):
+    """Chain inits: random points + the incumbent (reference
+    samplers.py:296-300), mapped to logit space. Built lazily — unused on
+    the warm path."""
+    inits = [gp.get_random_point(rng=np_rng)
+             for _ in range(max(0, num_chains - 1))]
+    best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
+    inits.append(best_x)
+    inits = np.clip(np.asarray(inits[:num_chains]), 1e-6, 1 - 1e-6)
+    return jnp.asarray(np.log(inits) - np.log1p(-inits))
+
+
+def _warm_state_matches(warm_state, kind, num_chains, ndim, dense_mass, temp,
+                        default_kind=None) -> bool:
+    """Kernel-reuse validity. Shapes AND temperature must match exactly — a
+    kernel adapted to a differently-tempered target would pass the acceptance
+    guard on a smooth temperature change while carrying residual burn-in
+    bias."""
+    return (warm_state is not None
+            and warm_state.get("kind", default_kind) == kind
+            and warm_state.get("num_chains") == num_chains
+            and warm_state.get("ndim") == ndim
+            and warm_state.get("dense_mass") == bool(dense_mass)
+            and warm_state.get("temp") == float(temp))
+
+
+def _plateau_frac_ok(apply, ctx, warm_state, gp, temp) -> float:
+    """Fraction of cached chain ends still feasible. The classifier retrains
+    between iterations and can strand ends on the minus_inf plateau, where
+    the acceptance guard is blind (zero gradient, all proposals equal-logp).
+    apply() returns the TEMPERED logp — the plateau sits at ~minus_inf/temp,
+    so the threshold is tempered too (an untempered 0.5*minus_inf would wave
+    infeasible starts through for any temp > 2)."""
+    start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
+        jnp.asarray(warm_state["last_z"])))
+    return float(np.mean(start_lp > 0.5 * float(gp.minus_inf) / float(temp)))
+
+
+def _warm_kernel_tuple(warm_state):
+    return (jnp.asarray(warm_state["step_size"]),
+            jnp.asarray(warm_state["mass_inv"]),
+            jnp.asarray(warm_state["mass_chol"]))
+
+
+def _bundle_samples(gp, clf, ctx, zs, diag, kind, num_chains, dense_mass,
+                    temp) -> Dict:
+    """ONE bundled device->host transfer for the refresh outputs (serial
+    per-array fetches are latency-priced on tunneled TPUs, and the refresh
+    runs every BO iteration), packed into the reference samples_dict schema
+    (x / logp / best / method) plus warm_state. The 'logp' entry recovers the
+    untempered GP mean at the samples (the reference's 'logp' deterministic,
+    samplers.py:276): the jacobian term is subtracted."""
+    xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
+    mean_apply = _mean_apply(gp.cfg, clf is not None,
+                             float(getattr(gp, "probability_threshold", 0.0)),
+                             float(getattr(gp, "minus_inf", 0.0)),
+                             getattr(gp, "clf_type", "") if clf is not None else "")
+    f = jax.device_get({
+        "xs": xs, "logp": mean_apply(ctx, xs),
+        "diag": {k: v for k, v in diag.items()
+                 if k in ("mean_accept", "n_divergent", "step_size")},
+        "warm": {k: diag[k]
+                 for k in ("step_size", "mass_inv", "mass_chol", "last_z")}})
+    xs, logp_mean = f["xs"], f["logp"]
+    return {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
+            "method": "MCMC", "diagnostics": f["diag"],
+            "warm_state": {**f["warm"], "kind": kind,
+                           "num_chains": num_chains, "ndim": gp.ndim,
+                           "dense_mass": bool(dense_mass),
+                           "temp": float(temp)}}
+
+
 def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
                    temp: float = 1.0, dense_mass: bool = True,
                    max_tree_depth: int = 6, warm_state: Optional[Dict] = None,
@@ -375,56 +475,23 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     np_rng = np_rng if np_rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
 
-    clf = getattr(gp, "_clf_ctx", None)
-    if clf is not None:
-        apply = _nuts_logprob_apply(gp.cfg, True, float(gp.probability_threshold),
-                                    float(gp.minus_inf), gp.clf_type, float(temp))
-        ctx = (gp.state, clf)
-    else:
-        apply = _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp))
-        ctx = gp.state
-
-    def _cold_init_z():
-        # chain inits: random points + the incumbent (reference
-        # samplers.py:296-300); built lazily — unused on the warm path
-        inits = [gp.get_random_point(rng=np_rng)
-                 for _ in range(max(0, num_chains - 1))]
-        best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
-        inits.append(best_x)
-        inits = np.clip(np.asarray(inits[:num_chains]), 1e-6, 1 - 1e-6)
-        return jnp.asarray(np.log(inits) - np.log1p(-inits))
-
+    clf, apply, ctx = _gated_apply_ctx(gp, temp)
     keys = jax.random.split(key, num_chains)
-    warm_ok = (warm_state is not None
-               and warm_state.get("kind", "nuts") == "nuts"
-               and warm_state.get("num_chains") == num_chains
-               and warm_state.get("ndim") == gp.ndim
-               and warm_state.get("dense_mass") == bool(dense_mass)
-               # a kernel adapted to a differently-tempered target would pass
-               # the acceptance guard on a smooth temperature change while
-               # carrying residual burn-in bias — require an exact match
-               and warm_state.get("temp") == float(temp))
-    if warm_ok and clf is not None:
-        # the classifier retrains between iterations and can reclassify a
-        # cached chain end as infeasible; on the minus_inf plateau the
-        # gradient is zero and every proposal has equal logp, so the
-        # acceptance guard below CANNOT catch it — check the starts directly
-        start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
-            jnp.asarray(warm_state["last_z"])))
-        if not np.all(start_lp > 0.5 * float(gp.minus_inf)):
-            log.debug("warm NUTS rejected: a cached chain end now falls in "
-                      "the classifier's infeasible region")
-            warm_ok = False
+    # default_kind="nuts": legacy warm states predate the 'kind' field
+    warm_ok = _warm_state_matches(warm_state, "nuts", num_chains, gp.ndim,
+                                  dense_mass, temp, default_kind="nuts")
+    if warm_ok and clf is not None and \
+            _plateau_frac_ok(apply, ctx, warm_state, gp, temp) < 1.0:
+        log.debug("warm NUTS rejected: a cached chain end now falls in "
+                  "the classifier's infeasible region")
+        warm_ok = False
     if warm_ok:
         rewarm = max(32, int(warmup_steps) // 4)
         runner = _nuts_runner(apply, rewarm, int(num_samples), int(thinning),
                               bool(dense_mass), int(max_tree_depth), warm=True)
-        warm_tuple = (jnp.asarray(warm_state["step_size"]),
-                      jnp.asarray(warm_state["mass_inv"]),
-                      jnp.asarray(warm_state["mass_chol"]))
         zs, logps, diag = runner(
             ctx, _maybe_shard_chains(jnp.asarray(warm_state["last_z"])),
-            _maybe_shard_chains(keys), warm_tuple)
+            _maybe_shard_chains(keys), _warm_kernel_tuple(warm_state))
         accept = float(np.mean(np.asarray(diag["mean_accept"])))
         div_rate = float(np.sum(np.asarray(diag["n_divergent"]))) / max(
             1, num_chains * num_samples)
@@ -435,33 +502,12 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     if not warm_ok:
         runner = _nuts_runner(apply, int(warmup_steps), int(num_samples),
                               int(thinning), bool(dense_mass), int(max_tree_depth))
-        zs, logps, diag = runner(ctx, _maybe_shard_chains(_cold_init_z()),
-                                 _maybe_shard_chains(keys))
+        zs, logps, diag = runner(
+            ctx, _maybe_shard_chains(_cold_logit_inits(gp, num_chains, np_rng)),
+            _maybe_shard_chains(keys))
 
-    xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
-    # recover the untempered GP mean at the samples (the reference's 'logp'
-    # deterministic, samplers.py:276): subtract the jacobian term
-    mean_apply = _mean_apply(gp.cfg, clf is not None,
-                             float(getattr(gp, "probability_threshold", 0.0)),
-                             float(getattr(gp, "minus_inf", 0.0)),
-                             getattr(gp, "clf_type", "") if clf is not None else "")
-    # ONE bundled transfer for every host-bound array: device->host round
-    # trips are latency-priced (tunneled TPU: seconds each when degraded),
-    # and the refresh runs every BO iteration
-    f = jax.device_get({
-        "xs": xs, "logp": mean_apply(ctx, xs),
-        "diag": {k: v for k, v in diag.items()
-                 if k in ("mean_accept", "n_divergent", "step_size")},
-        "warm": {k: diag[k]
-                 for k in ("step_size", "mass_inv", "mass_chol", "last_z")}})
-    xs, logp_mean = f["xs"], f["logp"]
-    out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
-           "method": "MCMC",
-           "diagnostics": f["diag"],
-           "warm_state": {
-               **f["warm"],
-               "num_chains": num_chains, "ndim": gp.ndim, "kind": "nuts",
-               "dense_mass": bool(dense_mass), "temp": float(temp)}}
+    out = _bundle_samples(gp, clf, ctx, zs, diag, "nuts", num_chains,
+                          dense_mass, temp)
     log.debug(f"NUTS: mean accept={np.mean(out['diagnostics']['mean_accept']):.3f}, "
               f"divergences={int(np.sum(out['diagnostics']['n_divergent']))}")
     return out
@@ -506,48 +552,23 @@ def sample_gp_ensemble(gp, np_rng=None, rng_key=None, num_chains: int = 64,
 
     from .infer.ehmc import run_ensemble
 
-    clf = getattr(gp, "_clf_ctx", None)
-    if clf is not None:
-        apply = _nuts_logprob_apply(gp.cfg, True, float(gp.probability_threshold),
-                                    float(gp.minus_inf), gp.clf_type, float(temp))
-        ctx = (gp.state, clf)
-    else:
-        apply = _nuts_logprob_apply(gp.cfg, False, 0.0, 0.0, "", float(temp))
-        ctx = gp.state
-
-    def _cold_init_z():
-        inits = [gp.get_random_point(rng=np_rng) for _ in range(nc - 1)]
-        best_x = np.asarray(gp.train_x[int(np.argmax(np.asarray(gp.train_y)))])
-        inits.append(best_x)
-        inits = np.clip(np.asarray(inits), 1e-6, 1 - 1e-6)
-        return jnp.asarray(np.log(inits) - np.log1p(-inits))
-
-    warm_ok = (warm_state is not None
-               and warm_state.get("kind") == "ehmc"
-               and warm_state.get("num_chains") == nc
-               and warm_state.get("ndim") == gp.ndim
-               and warm_state.get("dense_mass") == bool(dense_mass)
-               and warm_state.get("temp") == float(temp))
+    clf, apply, ctx = _gated_apply_ctx(gp, temp)
+    warm_ok = _warm_state_matches(warm_state, "ehmc", nc, gp.ndim,
+                                  dense_mass, temp)
     if warm_ok and clf is not None:
-        # same plateau guard as warm NUTS: a retrained classifier can strand
-        # cached chain ends on the minus_inf plateau where the acceptance
-        # guard is blind (zero gradient, all proposals equal-logp)
-        start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
-            jnp.asarray(warm_state["last_z"])))
-        frac_ok = float(np.mean(start_lp > 0.5 * float(gp.minus_inf)))
+        # the lockstep ensemble tolerates a few stranded chains (they re-enter
+        # during the short re-adaptation), hence the 0.9 fraction vs NUTS' all
+        frac_ok = _plateau_frac_ok(apply, ctx, warm_state, gp, temp)
         if frac_ok < 0.9:
             log.debug(f"warm ensemble rejected: {1 - frac_ok:.0%} of chain "
                       "ends now infeasible under the retrained classifier")
             warm_ok = False
     if warm_ok:
-        warm_tuple = (jnp.asarray(warm_state["step_size"]),
-                      jnp.asarray(warm_state["mass_inv"]),
-                      jnp.asarray(warm_state["mass_chol"]))
         zs, logps, diag = run_ensemble(
             apply, ctx, _maybe_shard_chains(jnp.asarray(warm_state["last_z"])), key,
             num_warmup=24, num_samples=kept, thinning=thinning,
             dense_mass=bool(dense_mass), num_leapfrog=int(num_leapfrog),
-            warm=warm_tuple, adapt_mass=False)
+            warm=_warm_kernel_tuple(warm_state), adapt_mass=False)
         accept = float(np.asarray(diag["mean_accept"]))
         div_rate = float(np.asarray(diag["n_divergent"])) / max(1, nc * kept * thinning)
         if accept < 0.5 or div_rate > 0.05:
@@ -556,33 +577,12 @@ def sample_gp_ensemble(gp, np_rng=None, rng_key=None, num_chains: int = 64,
             warm_ok = False
     if not warm_ok:
         zs, logps, diag = run_ensemble(
-            apply, ctx, _maybe_shard_chains(_cold_init_z()), key,
-            num_warmup=cold_warmup,
+            apply, ctx, _maybe_shard_chains(_cold_logit_inits(gp, nc, np_rng)),
+            key, num_warmup=cold_warmup,
             num_samples=kept, thinning=thinning, dense_mass=bool(dense_mass),
             num_leapfrog=int(num_leapfrog))
 
-    xs = jax.nn.sigmoid(zs.reshape(-1, gp.ndim))
-    mean_apply = _mean_apply(gp.cfg, clf is not None,
-                             float(getattr(gp, "probability_threshold", 0.0)),
-                             float(getattr(gp, "minus_inf", 0.0)),
-                             getattr(gp, "clf_type", "") if clf is not None else "")
-    # ONE bundled transfer (see sample_gp_nuts): this refresh runs every BO
-    # iteration and serial per-array fetches are latency-priced
-    f = jax.device_get({
-        "xs": xs, "logp": mean_apply(ctx, xs),
-        "diag": {k: v for k, v in diag.items()
-                 if k in ("mean_accept", "n_divergent", "step_size")},
-        "warm": {k: diag[k]
-                 for k in ("step_size", "mass_inv", "mass_chol", "last_z")}})
-    xs, logp_mean = f["xs"], f["logp"]
-    out = {"x": xs, "logp": logp_mean, "best": xs[np.argmax(logp_mean)],
-           "method": "MCMC",
-           "diagnostics": f["diag"],
-           "warm_state": {
-               "kind": "ehmc",
-               **f["warm"],
-               "num_chains": nc, "ndim": gp.ndim,
-               "dense_mass": bool(dense_mass), "temp": float(temp)}}
-    log.debug(f"EHMC: accept={float(f['diag']['mean_accept']):.3f}, "
-              f"divergences={int(f['diag']['n_divergent'])}")
+    out = _bundle_samples(gp, clf, ctx, zs, diag, "ehmc", nc, dense_mass, temp)
+    log.debug(f"EHMC: accept={float(out['diagnostics']['mean_accept']):.3f}, "
+              f"divergences={int(out['diagnostics']['n_divergent'])}")
     return out

@@ -155,3 +155,42 @@ def test_segmented_ns_bit_identical(monkeypatch):
     np.testing.assert_array_equal(a.dead_x, b.dead_x)
     np.testing.assert_array_equal(a.logvol, b.logvol)
     assert a.logz == b.logz
+
+
+def test_max_dead_truncation_warns(monkeypatch):
+    """Exhausting the dead-point buffer before the stopping rule fired used
+    to be a SILENT truncation path (only the maxcall exit warned)."""
+    import bobe_tpu.infer.nested as nested_mod
+
+    warned = []
+    monkeypatch.setattr(nested_mod.log, "warning",
+                        lambda msg, *a: warned.append(msg))
+    apply = gaussian_loglike_apply(np.full(2, 0.5), 0.05)
+    res = run_nested(apply, jnp.zeros(()), 2, jax.random.PRNGKey(4),
+                     nlive=100, dlogz=0.001, max_dead=120,
+                     rng=np.random.default_rng(5))
+    assert res.n_iter > 0
+    assert any("max_dead" in w for w in warned), warned
+
+
+def test_dynamic_decorrelation_honors_n_repeats(monkeypatch):
+    """The dynamic batch-seed decorrelation pass must use the SAME slice
+    depth as the runs (samplers.py raises n_repeats to 3d for d >= 10; a
+    hardcoded 1.5d left the duplicated seeds correlated with their parents
+    and re-introduced the measured high-d merge bias)."""
+    import bobe_tpu.infer.nested as nested_mod
+
+    seen = []
+    orig = nested_mod._decorrelate
+
+    def spy(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink):
+        seen.append(n_repeats)
+        return orig(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink)
+
+    monkeypatch.setattr(nested_mod, "_decorrelate", spy)
+    apply = gaussian_loglike_apply(np.full(2, 0.5), 0.1)
+    res = nested_mod.run_nested_dynamic(
+        apply, jnp.zeros(()), 2, jax.random.PRNGKey(6), nlive=100,
+        dlogz=0.05, rng=np.random.default_rng(7), n_repeats=9)
+    assert res.success
+    assert seen == [9], seen

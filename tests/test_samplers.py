@@ -232,3 +232,62 @@ def test_information_err_schedule_consistency():
     # array path clips negative per-point increments -> conservative (>=)
     assert err_a >= err_s * 0.999
     assert err_a < 3.0 * err_s
+
+
+def test_seed_live_points_fallback_keeps_found_feasible():
+    """When rejection seeding finds SOME but not enough feasible points, the
+    mixed-live-set fallback must keep them (a previous version redrew a
+    fresh pool and discarded up to nlive-1 feasible points), and a live-set
+    request larger than the proposal pool must not crash the choice()."""
+    from bobe_tpu.samplers import _seed_live_points
+
+    toy = _GatedToy(d=2, cut=0.9995)  # feasible fraction ~ 5e-4
+    rng = np.random.default_rng(2)
+    ll = lambda x: toy.loglike(x)
+    lx, lgl, logvol0, var0 = _seed_live_points(toy, ll, 150, toy.d, rng)
+    n_feas_kept = int(np.sum(lgl > toy.minus_inf))
+    # ~20 batches x 10k draws x 5e-4 ~ 100 feasible found; all must survive
+    assert n_feas_kept >= 50, n_feas_kept
+    assert lx.shape == (150, toy.d)
+    assert logvol0 == 0.0 and var0 == 0.0  # mixed set: no volume shift
+
+
+def test_warm_plateau_guard_is_temperature_aware(monkeypatch):
+    """apply() returns the TEMPERED logp, so the plateau sits at
+    ~minus_inf/temp: with temp > 2 the old untempered 0.5*minus_inf
+    threshold waved infeasible chain ends through to the warm path."""
+    import bobe_tpu.samplers as samplers_mod
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(40, 2))
+    y = -np.sum(((x - 0.5) / 0.2) ** 2, axis=1) * 30
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, noise=1e-8)
+    gp.train_classifier()
+    assert gp._clf_ctx is not None  # classifier active (two classes)
+
+    calls = []
+    orig = samplers_mod._nuts_runner
+
+    def spy(apply, warmup, num_samples, thinning, dense, depth, warm=False):
+        calls.append(bool(warm))
+        return orig(apply, warmup, num_samples, thinning, dense, depth, warm)
+
+    monkeypatch.setattr(samplers_mod, "_nuts_runner", spy)
+    temp = 4.0
+    cold = samplers_mod.sample_gp_nuts(
+        gp, np_rng=np.random.default_rng(8), num_chains=2,
+        num_samples=64, warmup_steps=64, temp=temp)
+    ws = dict(cold["warm_state"])
+    # strand every cached chain end on the infeasible plateau
+    x_bad = np.asarray(gp.train_x_clf)[int(np.argmin(np.asarray(gp.train_y_clf)))]
+    assert float(gp.predict_single(jnp.asarray(x_bad))[0]) <= gp.minus_inf / 2
+    z_bad = np.log(np.clip(x_bad, 1e-6, 1 - 1e-6)) \
+        - np.log1p(-np.clip(x_bad, 1e-6, 1 - 1e-6))
+    ws["last_z"] = np.tile(z_bad, (ws["last_z"].shape[0], 1))
+    calls.clear()
+    samplers_mod.sample_gp_nuts(
+        gp, np_rng=np.random.default_rng(9), num_chains=2,
+        num_samples=64, warmup_steps=64, temp=temp, warm_state=ws)
+    assert calls and calls[0] is False, calls  # guard forced the cold path
