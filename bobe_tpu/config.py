@@ -228,6 +228,21 @@ def fit_f64_select() -> bool:
     return os.environ.get("BOBE_TPU_F64_SELECT", "1") != "0"
 
 
+def predict_chunk() -> int:
+    """Largest batch a single batched-predict device call may carry.
+
+    Batched GP prediction is called with UNBOUNDED batch sizes — the NS
+    evidence-bound integrals evaluate sigma at every dead point (~1e5-1e6
+    for deep high-d runs) and classifier live-seeding proposes 5000*d points
+    per try. One device call at that size builds a (cap, m) cross kernel
+    plus solve intermediates and OOMs HBM (measured: 28.3 GB requested at
+    cap=2048, d=30, m=142800 on a 16 GB v5e). Larger batches are split into
+    chunks of this size (the tail padded, so exactly one graph compiles).
+    At the 16384 default the peak per-call footprint stays ~2-3 GB at
+    cap 2048 f64. Override with BOBE_TPU_PREDICT_CHUNK (0 disables)."""
+    return int(os.environ.get("BOBE_TPU_PREDICT_CHUNK", 16384))
+
+
 def fit_polish_iters() -> int:
     """L-BFGS iterations for the f64 polish (BOBE_TPU_POLISH_ITERS).
     40 is the measured sweet spot (see fit_polish_max_cap): ~1/5 the cost

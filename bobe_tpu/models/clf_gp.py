@@ -113,10 +113,14 @@ class GPwithClassifier(GP):
                   f"points: {self.clf_metrics}")
 
     def _gate(self, x):
-        """Classifier probabilities for a batch, or None if inactive."""
+        """Classifier probabilities for a batch, or None if inactive.
+        Chunked like the GP predicts — callers pass NS-integral-sized
+        batches (the padded-SV kernel is (n_sv, m))."""
         if not self.use_clf or self.clf_params is None:
             return None
-        return predict_proba_apply(self.clf_type)(self.clf_params, jnp.atleast_2d(x))
+        proba = predict_proba_apply(self.clf_type)
+        return self._map_chunked(lambda xe: proba(self.clf_params, xe),
+                                 jnp.atleast_2d(x))
 
     # ------------------------------------------------------------ prediction
 

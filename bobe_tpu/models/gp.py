@@ -946,23 +946,47 @@ class GP:
 
     # ------------------------------------------------------------ prediction
 
-    def predict_mean_batched(self, x):
+    def _map_chunked(self, fn, x):
+        """Apply a batched predict in fixed-size device calls.
+
+        Callers pass UNBOUNDED batches (NS sigma-bound integrals over every
+        dead point — ~1e5-1e6 in deep high-d runs); one device call at that
+        size materializes a (cap, m) cross kernel + solve intermediates and
+        OOMs HBM (config.predict_chunk docstring has the measurement). The
+        tail chunk is zero-padded to the chunk size so exactly one graph
+        compiles regardless of m."""
         x = jnp.atleast_2d(x)
-        return predict_mean(self.state, self.cfg, x)
+        m = x.shape[0]
+        chunk = config.predict_chunk()
+        if not chunk or m <= chunk:
+            return fn(x)
+        parts = []
+        for i in range(0, m, chunk):
+            xe = x[i:i + chunk]
+            if xe.shape[0] < chunk:
+                xe = jnp.pad(xe, ((0, chunk - xe.shape[0]), (0, 0)))
+            parts.append(fn(xe))
+        if isinstance(parts[0], tuple):
+            return tuple(jnp.concatenate([p[j] for p in parts])[:m]
+                         for j in range(len(parts[0])))
+        return jnp.concatenate(parts)[:m]
+
+    def predict_mean_batched(self, x):
+        return self._map_chunked(
+            lambda xe: predict_mean(self.state, self.cfg, xe), x)
 
     def loo_z_rms(self) -> float:
         """RMS leave-one-out z-score of the current fit (see _loo_z_rms)."""
         return float(_loo_z_rms(self.state))
 
     def predict_var_batched(self, x):
-        x = jnp.atleast_2d(x)
-        _, var = predict(self.state, self.cfg, x)
-        return var
+        return self._map_chunked(
+            lambda xe: predict(self.state, self.cfg, xe)[1], x)
 
     def predict_batched(self, x):
         """Standardized (mean, var) batch — used by acquisition functions."""
-        x = jnp.atleast_2d(x)
-        return predict_raw(self.state, self.cfg, x)
+        return self._map_chunked(
+            lambda xe: predict_raw(self.state, self.cfg, xe), x)
 
     def predict_mean_single(self, x):
         return self.predict_mean_batched(jnp.atleast_2d(x))[0]

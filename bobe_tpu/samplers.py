@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import config
 from .infer import integrals
 from .infer.nested import run_nested, run_nested_dynamic
 from .infer.nuts import run_chain
@@ -101,11 +102,20 @@ def _seed_live_points(gp, loglike, nlive, ndim, rng):
     maxtries = 20
     nlogl = 5000 * ndim
     floor = float(getattr(gp, "minus_inf", -np.inf))
+
+    def _loglike_chunked(x):
+        # 5000*d proposals per try: one device call at that size OOMs HBM at
+        # large caps (see config.predict_chunk) — evaluate in bounded chunks
+        chunk = config.predict_chunk() or x.shape[0]
+        return np.concatenate([
+            np.asarray(loglike(jnp.asarray(x[i:i + chunk])))
+            for i in range(0, x.shape[0], chunk)])
+
     feas_x, feas_l = [], []
     n_drawn = n_feas = 0
     for _ in range(maxtries):
         x = rng.uniform(size=(nlogl, ndim))
-        logl = np.asarray(loglike(jnp.asarray(x)))
+        logl = _loglike_chunked(x)
         ok = logl > floor
         n_drawn += nlogl
         n_feas += int(ok.sum())
@@ -141,7 +151,7 @@ def _seed_live_points(gp, loglike, nlive, ndim, rng):
     if n_keep < nlive:
         x = rng.uniform(size=(nlive - n_keep, ndim))
         lx[n_keep:] = x
-        ll[n_keep:] = np.asarray(loglike(jnp.asarray(x)))
+        ll[n_keep:] = _loglike_chunked(x)
     if np.all(ll == ll[0]):
         pt = gp.get_random_point(rng=rng, nstd=1.0)
         lx[0] = pt

@@ -326,3 +326,53 @@ def test_loo_calibration_detects_overconfidence():
                 lengthscales=np.full(2, 4.0))
     kappa_bad = float(_loo_z_rms(gp_bad.state))
     assert kappa_bad > 5.0, kappa_bad
+
+
+def test_chunked_batched_predict_matches_unchunked(monkeypatch):
+    """Unbounded predict batches (NS sigma-bound integrals over every dead
+    point) are split into fixed-size device calls with a padded tail —
+    results must be exactly the unchunked ones. Regression for the HBM OOM
+    at cap=2048, d=30, m=142800 (28.3 GB requested on a 16 GB v5e)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from bobe_tpu.models.gp import GP
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(40, 3))
+    y = -np.sum(((x - 0.5) / 0.3) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    xq = jnp.asarray(rng.uniform(size=(103, 3)))  # not a multiple of chunk
+
+    ref_mean = np.asarray(gp.predict_mean_batched(xq))
+    ref_var = np.asarray(gp.predict_var_batched(xq))
+    ref_mv = tuple(np.asarray(a) for a in gp.predict_batched(xq))
+
+    monkeypatch.setenv("BOBE_TPU_PREDICT_CHUNK", "16")
+    np.testing.assert_array_equal(np.asarray(gp.predict_mean_batched(xq)), ref_mean)
+    np.testing.assert_array_equal(np.asarray(gp.predict_var_batched(xq)), ref_var)
+    mv = gp.predict_batched(xq)
+    np.testing.assert_array_equal(np.asarray(mv[0]), ref_mv[0])
+    np.testing.assert_array_equal(np.asarray(mv[1]), ref_mv[1])
+
+
+def test_chunked_predict_matches_on_clf_gp(monkeypatch):
+    from bobe_tpu.models.clf_gp import GPwithClassifier
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(40, 2))
+    y = -np.sum(((x - 0.5) / 0.2) ** 2, axis=1) * 30
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_type="svm",
+                          clf_use_size=10, noise=1e-8)
+    gp.train_classifier()
+    xq = jnp.asarray(rng.uniform(size=(77, 2)))
+    ref = tuple(np.asarray(a) for a in gp.predict_batched(xq))
+    monkeypatch.setenv("BOBE_TPU_PREDICT_CHUNK", "16")
+    out = gp.predict_batched(xq)
+    np.testing.assert_array_equal(np.asarray(out[0]), ref[0])
+    np.testing.assert_array_equal(np.asarray(out[1]), ref[1])
