@@ -153,8 +153,16 @@ def _wip_refine_core(cfg: gpm.GPTrainConfig, use_std: bool, maxiter: int):
 
     def objective(state, x, mc_points, V, var):
         ls, amp = jnp.exp(state.log_ls), jnp.exp(state.log_amp)
-        fv = fantasy_var_single(cfg.kernel, state.x, state.mask(), state.chol,
-                                x, mc_points, V, var, ls, amp, cfg.noise)
+        # kernel math in WARP space: V/var/state.chol come from the sweep
+        # core, which built them from warped coordinates — raw-space kernels
+        # against a warp-space Cholesky would make the polish meaningless
+        # (and spuriously small values would win the <= acq_min gate). The
+        # optimization variable x stays raw; the warp is differentiable.
+        x_w = gpm.query_coords(state, cfg, x[None, :])[0]
+        mc_w = gpm.query_coords(state, cfg, mc_points)
+        fv = fantasy_var_single(cfg.kernel, gpm.train_coords(state, cfg),
+                                state.mask(), state.chol,
+                                x_w, mc_w, V, var, ls, amp, cfg.noise)
         if use_std:
             return jnp.mean(jnp.sqrt(fv)) * state.y_std
         return jnp.mean(fv) * state.y_std**2
@@ -288,7 +296,11 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         local polish is skipped anyway, reference acquisition.py:400) the
         whole batch is selected in ONE fused device dispatch via the rank-1
         downdate identity; below, the reference's hallucination loop runs."""
-        if n_batch <= 1 or gp.npoints <= REFINE_MAX_N:
+        # gate on the GP ROW count: a classifier-GP's npoints is the full
+        # dataset incl. rejects (reference gates on gp.train_x.shape[0],
+        # acquisition.py:400) — the full count would disable the polish and
+        # force the pool-only path far too early in clf runs
+        if n_batch <= 1 or getattr(gp, "gp_size", gp.npoints) <= REFINE_MAX_N:
             return super().get_next_batch(
                 gp, n_batch=n_batch, acq_kwargs=acq_kwargs, maxiter=maxiter,
                 n_restarts=n_restarts, verbose=verbose,
@@ -337,7 +349,9 @@ class WeightedIntegratedPosteriorBase(AcquisitionFunction):
         x0_np = mc_np[i_best]
         log.debug(f"{self.name} min over MC pool: {acq_min:.4e}")
 
-        if gp.npoints > REFINE_MAX_N:  # skip polish at large N (reference :400)
+        # skip polish at large N (reference :400); GP ROW count, not the
+        # clf-GP's full dataset size (see get_next_batch)
+        if getattr(gp, "gp_size", gp.npoints) > REFINE_MAX_N:
             return x0_np, acq_min
 
         refine = _wip_refine_core(gp.cfg, self._use_std, int(maxiter))

@@ -37,7 +37,7 @@ from .likelihood import CobayaLikelihood, Likelihood
 from .models.clf_gp import GPwithClassifier
 from .models.gp import GP
 from .parallel.pool import EvalPool, make_pool
-from .samplers import nested_sampling, sample_gp_nuts
+from .samplers import nested_sampling
 from .utils.core import (
     get_threshold_for_nsigma,
     kl_divergence_gaussian,
@@ -47,7 +47,7 @@ from .utils.core import (
 )
 from .utils.log import get_logger, update_verbosity
 from .utils.results import BOBEResults
-from .utils.seed import get_jax_key, get_numpy_rng, set_global_seed
+from .utils.seed import get_new_jax_key, get_numpy_rng, set_global_seed
 
 log = get_logger("bo")
 
@@ -115,8 +115,12 @@ class BOBE:
                                  n_cobaya_init, n_sobol_init, acq, use_clf,
                                  clf_type, clf_nsigma_threshold, minus_inf,
                                  resume)
-        if resume and resume_file is not None:
-            self._handle_resume(resume_file, use_clf)
+        if resume:
+            # resume without an explicit file resumes from this run's own
+            # save path (the bare flag used to fall through BOTH branches
+            # and crash below with self.gp never created)
+            self._handle_resume(resume_file if resume_file is not None
+                                else self.save_path, use_clf)
         if self.fresh_start:
             self._handle_fresh_start(
                 n_cobaya_init, n_sobol_init, init_train_x, init_train_y,
@@ -578,11 +582,13 @@ class BOBE:
             if a.lower() not in _ACQ_FUNCS:
                 raise ValueError(f"Invalid acquisition '{a}'; options: "
                                  f"{list(_ACQ_FUNCS)}")
-            self.acquisition = _ACQ_FUNCS[a.lower()](optimizer=self.optimizer)
             if a.lower() in ("wipv", "wipstd"):
+                # run_weighted_integrated_posterior constructs its own
+                # acquisition instance (it is also a public entry point)
                 self.run_weighted_integrated_posterior(
                     _ACQ_FUNCS[a.lower()], ii=self.current_iteration)
             else:
+                self.acquisition = _ACQ_FUNCS[a.lower()](optimizer=self.optimizer)
                 self.run_EI(ii=self.current_iteration)
 
         log.info(f"Final best point {self.best} with value = {self.best_f:.6f} "
@@ -596,6 +602,7 @@ class BOBE:
 
     def run_EI(self, ii: int = 0):
         current_evals = self.gp.npoints
+        self.convergence_counter = 0  # per-phase (see WIP loop)
         converged = False
         while not converged:
             ii += 1
@@ -633,22 +640,31 @@ class BOBE:
         return int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
                            lo, 8))
 
-    def _refresh_mc_samples(self, np_rng=None, rng_key=None):
-        self.results_manager.start_timing("MCMC Sampling")
-        self.mc_samples = get_mc_samples(
-            self.gp, warmup_steps=self.num_hmc_warmup,
-            num_samples=self.num_hmc_samples, thinning=self.hmc_thinning,
-            num_chains=self.hmc_num_chains,
-            np_rng=np_rng if np_rng is not None else self.np_rng,
-            rng_key=rng_key if rng_key is not None else get_jax_key(),
-            method=self.mc_points_method,
-            warm_state=getattr(self, "_nuts_warm", None))
-        # cache the adapted NUTS kernel: successive iterations re-warm from
-        # it (short fixed-mass step-size re-adaptation) instead of paying the
-        # full windowed warmup against a barely-changed surrogate posterior
-        if isinstance(self.mc_samples, dict):
-            self._nuts_warm = self.mc_samples.get("warm_state")
-        self.results_manager.end_timing("MCMC Sampling")
+    def _refresh_mc_samples(self, np_rng=None, rng_key=None,
+                            phase: str = "MCMC Sampling"):
+        # the async caller passes the "(overlapped)" phase: its span runs
+        # concurrently with "True Objective Evaluations", so the ledger must
+        # not count it toward the additive main-thread wall time (the
+        # summary's 'untracked' went negative otherwise). try/finally keeps
+        # the start entry popped when the refresh throws on the thread.
+        self.results_manager.start_timing(phase)
+        try:
+            self.mc_samples = get_mc_samples(
+                self.gp, warmup_steps=self.num_hmc_warmup,
+                num_samples=self.num_hmc_samples, thinning=self.hmc_thinning,
+                num_chains=self.hmc_num_chains,
+                np_rng=np_rng if np_rng is not None else self.np_rng,
+                rng_key=rng_key if rng_key is not None else get_new_jax_key(),
+                method=self.mc_points_method,
+                warm_state=getattr(self, "_nuts_warm", None))
+            # cache the adapted NUTS kernel: successive iterations re-warm
+            # from it (short fixed-mass step-size re-adaptation) instead of
+            # paying the full windowed warmup against a barely-changed
+            # surrogate posterior
+            if isinstance(self.mc_samples, dict):
+                self._nuts_warm = self.mc_samples.get("warm_state")
+        finally:
+            self.results_manager.end_timing(phase)
 
     def _start_refresh_async(self):
         """Launch the MC-pool refresh on a daemon thread so its device work
@@ -666,13 +682,14 @@ class BOBE:
         post-update surrogate. Disable: BOBE_TPU_OVERLAP_REFRESH=0."""
         import threading
 
-        key = get_jax_key()
+        key = get_new_jax_key()
         child_rng = self.np_rng.spawn(1)[0]
         holder = {}
 
         def _run():
             try:
-                self._refresh_mc_samples(np_rng=child_rng, rng_key=key)
+                self._refresh_mc_samples(np_rng=child_rng, rng_key=key,
+                                         phase="MCMC Sampling (overlapped)")
             except Exception as e:  # fall back to a sync refresh on join
                 holder["error"] = e
 
@@ -691,9 +708,20 @@ class BOBE:
             self._refresh_mc_samples()
 
     def run_weighted_integrated_posterior(self, acq_func_class, ii: int = 0):
+        if self.converged:
+            # a previous acquisition phase of this run (tuple acq) already
+            # converged: keep its NS posterior/evidence — re-entering here
+            # used to reset ns_samples and overwrite the final posterior
+            # with the no-NS NUTS fallback while logz kept the NS values
+            log.info(f"Skipping {acq_func_class.name}: already converged")
+            return
         self.acquisition = acq_func_class(optimizer=self.optimizer)
         acq_name = self.acquisition.name
         current_evals = self.gp.npoints
+        # convergence_n_iters successive checks are required PER PHASE: a
+        # counter carried over from a previous acquisition phase would let
+        # the first sub-threshold check declare convergence immediately
+        self.convergence_counter = 0
         self._refresh_mc_samples()
         self.ns_samples = None
         ns_success = False
@@ -820,14 +848,18 @@ class BOBE:
             dlogz_s = float(self.results_dict.get("logz", {}).get(
                 "dlogz_sampler", 0.0))
             boost = self._ns_boost(dlogz_s, lo=1)
-            self.ns_samples, logz_dict, ns_success = nested_sampling(
+            final_samples, logz_dict, final_ok = nested_sampling(
                 gp=self.gp, mode="convergence", dlogz=0.01,
                 nlive=boost * ns_settings("convergence", self.ndim)[0],
                 dynamic=True, rng=self.np_rng)
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(
                 f"{k}={logz_dict[k]:.4f}" for k in logz_keys if k in logz_dict))
-            if ns_success:
+            if final_ok:
+                # only adopt the final run on success: a failed final pass
+                # must not discard an earlier successful in-loop NS (whose
+                # evidence results_dict['logz'] would still be reporting)
+                self.ns_samples, ns_success = final_samples, True
                 eq_x, eq_l = resample_equal(
                     self.ns_samples["x"], self.ns_samples["logl"],
                     weights=self.ns_samples["weights"], rng=self.np_rng)
@@ -848,7 +880,7 @@ class BOBE:
             mc = get_mc_samples(self.gp, warmup_steps=512,
                                 num_samples=2000 * self.ndim, thinning=4,
                                 method="NUTS", np_rng=self.np_rng,
-                                rng_key=get_jax_key())
+                                rng_key=get_new_jax_key())
             self.results_manager.end_timing("MCMC Sampling")
             samples = mc["x"]
             weights = mc.get("weights", np.ones(mc["x"].shape[0]))

@@ -145,7 +145,12 @@ class BOBEResults:
 
     def get_timing_summary(self) -> Dict[str, Any]:
         total = time.time() - self._t0
-        tracked = sum(self._phase_times.values())
+        # "(overlapped)" phases ran concurrently with another tracked phase
+        # (the async MC refresh overlaps the likelihood batch): they are
+        # reported but excluded from the additive main-thread sum, or
+        # 'untracked' would go negative
+        tracked = sum(t for p, t in self._phase_times.items()
+                      if not p.endswith("(overlapped)"))
         pct = {p: (100.0 * t / total if total > 0 else 0.0)
                for p, t in self._phase_times.items()}
         return {"total_runtime": total, "phase_times": dict(self._phase_times),

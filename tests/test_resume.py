@@ -37,3 +37,28 @@ def test_resume_restores_gp_and_history(tmp_path):
                    ei_goal=1e-12, convergence_n_iters=1, fit_n_points=4)
     assert r2["gp"].npoints >= n1
     assert r2["results_manager"].get_last_iteration() >= it1
+
+
+def test_resume_without_explicit_file_uses_save_path(tmp_path):
+    """resume=True with the default resume_file=None must resume from the
+    run's own save path (it used to fall through both init branches and
+    crash with self.gp never created)."""
+    kwargs = dict(
+        loglikelihood=toys.rosenbrock,
+        param_list=toys.rosenbrock_names,
+        param_bounds=toys.rosenbrock_bounds,
+        likelihood_name="resume_default",
+        n_sobol_init=8,
+        seed=7,
+        save_dir=str(tmp_path),
+        verbosity="WARNING",
+        pool="serial",
+    )
+    bobe = BOBE(**kwargs)
+    r1 = bobe.run(acq="logei", max_evals=10, max_gp_size=40, ei_goal=1e-12,
+                  convergence_n_iters=1, fit_n_points=4)
+    n1 = r1["gp"].npoints
+
+    bobe2 = BOBE(resume=True, **kwargs)  # no resume_file
+    assert not bobe2.fresh_start
+    assert bobe2.gp.npoints == n1

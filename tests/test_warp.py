@@ -249,3 +249,27 @@ def test_warp_update_extend_consistent_with_refresh():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_f), rtol=1e-5,
                                atol=1e-10)
+
+
+def test_warp_refine_consistent_with_sweep():
+    """The local-polish objective must evaluate the SAME function the sweep
+    evaluated — both in warp space. With a non-identity warp the polish used
+    to build raw-space kernels against the warp-space Cholesky/V/var,
+    returning meaningless values that could spuriously win the <= acq_min
+    gate (maxiter=0: the refine returns the objective AT the pool argmin, so
+    it must equal the sweep's value there)."""
+    from bobe_tpu.acquisition import SWEEP_DTYPE, _wip_refine_core, _wip_sweep_core
+
+    x, y = _data(n=40)
+    gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8,
+                input_warp=True)
+    d = x.shape[1]
+    lp = jnp.concatenate([gp.state.log_ls, gp.state.log_amp[None],
+                          jnp.full((d,), 0.4), jnp.full((d,), -0.3)])
+    st = gpm.set_hyperparams(gp.state, gp.cfg, lp)  # non-identity warp
+    mc = jnp.asarray(np.random.default_rng(5).uniform(0.1, 0.9, size=(32, d)))
+
+    acq, V, var = _wip_sweep_core(gp.cfg, True, SWEEP_DTYPE)(st, mc)
+    i0 = int(np.argmin(np.asarray(acq)))
+    _, f0 = _wip_refine_core(gp.cfg, True, 0)(st, mc[i0][None, :], mc, V, var)
+    np.testing.assert_allclose(float(f0), float(acq[i0]), rtol=1e-6)
