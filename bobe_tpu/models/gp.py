@@ -489,12 +489,10 @@ def _loo_z_rms(state: GPState) -> jnp.ndarray:
     (measured: a planck-like seed declared delta<0.05 while truly off by
     0.18 — BENCH_NOTES round 3). Pad rows carry alpha=0 and are masked.
     """
-    from jax.scipy.linalg import solve_triangular
-
     cap = state.x.shape[0]
     mask = state.mask()
-    Linv = solve_triangular(state.chol, jnp.eye(cap, dtype=state.chol.dtype),
-                            lower=True)
+    Linv = chol_ops.tri_solve(state.chol,
+                              jnp.eye(cap, dtype=state.chol.dtype))
     kinv_diag = jnp.sum(Linv * Linv, axis=0)
     z2 = jnp.where(mask > 0, state.alpha**2 / jnp.maximum(kinv_diag, 1e-300),
                    0.0)
@@ -509,8 +507,6 @@ def _route_f64_to_host() -> bool:
     ~400 ms even at cap 128 (measured round 3); the host factors the same
     problem natively in milliseconds. Opt out with BOBE_TPU_HOST_F64_FIT=0.
     """
-    import os
-
     if os.environ.get("BOBE_TPU_HOST_F64_FIT", "1") == "0":
         return False
     try:
@@ -589,9 +585,15 @@ def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
     with jax.default_device(cpu):
         host_state, (x0_np,) = _host_state_and_aux(state, d, host_xy, (x0,))
         x0_host = jnp.asarray(x0_np)
-        run = _fit_core(cfg, d, maxiter, optimizer, fit_dtype="float64")
-        _, best_log, best_f = run(host_state, x0_host)
-        return np.asarray(best_log), float(best_f)
+        # return_all: the non-return_all core also refreshes the full state
+        # (an O(cap^3) Cholesky + Gram at (cap, cap)) that this host path
+        # always discarded — only the winning hyperparameters travel back
+        run = _fit_core(cfg, d, maxiter, optimizer, fit_dtype="float64",
+                        return_all=True)
+        all_log, all_f = jax.device_get(run(host_state, x0_host))
+        all_f = np.asarray(all_f)
+        i = int(np.argmin(np.where(np.isfinite(all_f), all_f, np.inf)))
+        return np.asarray(all_log)[i], float(all_f[i])
 
 
 @lru_cache(maxsize=64)
@@ -782,8 +784,6 @@ class GP:
         self.param_names = list(param_names) if param_names is not None else [
             f"x_{i}" for i in range(d)
         ]
-        if optimizer == "scipy":
-            pass  # host parity path, handled by ops.optimize.minimize
         self.optimizer_method = optimizer
         self.optimizer_options = dict(optimizer_options or {})
 
@@ -1001,7 +1001,13 @@ class GP:
     def fantasy_var(self, new_x, mc_points, k_train_mc=None):
         """Posterior variance at mc_points if new_x were added (reference
         gp.py:552-576), via the rank-1 identity in ops/fantasy.py. Returns the
-        physical-scale variance."""
+        physical-scale variance.
+
+        ``k_train_mc`` is accepted for reference API parity but NOT used:
+        the payload the rank-1 identity caches here is the solved (cap, m)
+        system V (not the raw cross kernel), and the production WIP path
+        amortizes it inside the fused sweep core (_wip_sweep_core) — this
+        method is the one-candidate convenience entry point."""
         st, cfg = self.state, self.cfg
         ls, amp = jnp.exp(st.log_ls), jnp.exp(st.log_amp)
         xt = train_coords(st, cfg)
@@ -1071,6 +1077,10 @@ class GP:
             names.append("kernel_variance")
         if self.cfg.lengthscale_prior == "SAAS":
             names.append("tausq")
+        if self.cfg.input_warp:
+            # keep the name groups aligned with the packed vector that
+            # hyperparam_bounds / get_hyperparams describe
+            names.extend(["warp_a", "warp_b"])
         return names
 
     def get_hyperparams(self):
@@ -1123,6 +1133,10 @@ class GP:
             "alphas": np.asarray(self.state.alpha[:n]).reshape(-1, 1),
             "ndim": self.ndim,
             "gp_class": "GP",
+            # beyond-reference: keep the physical parameter names across
+            # copy/save/resume (hyperparams_dict and lengthscale logging key
+            # by them); absent-tolerant on load like the warp keys
+            "param_names": list(self.param_names),
             # beyond-reference input warping: extra keys, absent-tolerant on
             # load so reference-era state dicts keep round-tripping
             "input_warp": bool(self.cfg.input_warp),
@@ -1162,6 +1176,8 @@ class GP:
             input_warp=bool(state.get("input_warp", False)),
             warp_bounds=tuple(np.asarray(
                 state.get("warp_bounds", (0.25, 4.0))).tolist()),
+            param_names=(list(np.asarray(state["param_names"]).tolist())
+                         if state.get("param_names") is not None else None),
         )
         log_wa, log_wb = state.get("log_wa"), state.get("log_wb")
         if log_wa is not None and log_wb is not None and np.size(log_wa):

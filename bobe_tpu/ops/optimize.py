@@ -207,7 +207,11 @@ def minimize_restarts(
         return x_all, best_v
     i = jnp.argmin(best_v)
     z_star, f_star = best_z[i], best_v[i]
-    x_star = _to_x(z_star, bounds_arr) if bounds_arr is not None else z_star
+    # clip exactly as the bounded objective did (see return_all above): an
+    # update can push z past the clip range, and the unclipped x would differ
+    # from the point whose best_v was actually evaluated
+    x_star = (_to_x(jnp.clip(z_star, -_Z_CLIP, _Z_CLIP), bounds_arr)
+              if bounds_arr is not None else z_star)
     return x_star, f_star
 
 
@@ -254,6 +258,10 @@ def minimize_scipy_restarts(
         acceptable = res.success or "ITERATIONS REACHED LIMIT" in str(res.message).upper()
         if acceptable and np.isfinite(res.fun) and res.fun < best_f:
             best_f, best_x = float(res.fun), res.x
+    if best_x is None:
+        raise RuntimeError(
+            "every optimizer restart failed (objective non-finite at all "
+            "initial points and no scipy run succeeded)")
     return jnp.asarray(best_x), jnp.asarray(best_f)
 
 

@@ -376,3 +376,24 @@ def test_chunked_predict_matches_on_clf_gp(monkeypatch):
     out = gp.predict_batched(xq)
     np.testing.assert_array_equal(np.asarray(out[0]), ref[0])
     np.testing.assert_array_equal(np.asarray(out[1]), ref[1])
+
+
+def test_param_names_survive_state_roundtrip(tmp_path):
+    """Custom parameter names must survive copy/save/load — resumed runs
+    used to silently reset lengthscale logging keys to x_0..x_{d-1}."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from bobe_tpu.models.gp import GP
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(12, 2))
+    y = -np.sum((x - 0.5) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8,
+            param_names=["omega_m", "h0"])
+    assert gp.copy().param_names == ["omega_m", "h0"]
+    path = str(tmp_path / "named.npz")
+    gp.save(path)
+    assert GP.load(path).param_names == ["omega_m", "h0"]
+    assert "omega_m" in gp.hyperparams_dict()["lengthscales"]
