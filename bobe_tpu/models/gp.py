@@ -571,6 +571,43 @@ def _host_state_and_aux(state: GPState, d: int,
     return host_state, aux_np
 
 
+def _refresh_via_host(state: GPState, cfg: GPTrainConfig, d: int,
+                      log_params,
+                      host_xy: Tuple[np.ndarray, np.ndarray]) -> GPState:
+    """set_hyperparams + full O(cap^3) refresh on the host CPU backend.
+
+    On TPU float64 is XLA-emulated: the post-fit state refresh (f64 Gram +
+    jittered Cholesky + solve, refresh()) costs ~0.11 s at cap 1024 and
+    ~4.5 s at cap 4096 on-device, while the host factors the same problem
+    natively in milliseconds. With the facade's host (x, y) mirror the whole
+    refresh needs ZERO device fetches; the only device traffic is one bundled
+    upload of the refreshed (chol, alpha, hyperparams, y-stats) — cap^2 +
+    O(cap) f64 values. Runs the SAME set_hyperparams/refresh graph as the
+    device path (both f64), so semantics cannot drift; equality is pinned in
+    tests/test_gp.py. Same routing gate as the host f64 fits
+    (BOBE_TPU_HOST_F64_FIT).
+    """
+    cpu = jax.devices("cpu")[0]
+    log_np = np.asarray(log_params, dtype=np.float64)
+    with jax.default_device(cpu):
+        host_state, _ = _host_state_and_aux(state, d, host_xy)
+        new_host = _set_hp_jit(host_state, cfg, jnp.asarray(log_np))
+        leaves = [new_host.chol, new_host.alpha, new_host.log_ls,
+                  new_host.log_amp, new_host.log_tausq,
+                  new_host.y_mean, new_host.y_std]
+        if new_host.log_wa is not None:
+            leaves += [new_host.log_wa, new_host.log_wb]
+        out = jax.device_get(leaves)
+    up = jax.device_put(out)  # one bundled upload to the default device
+    chol, alpha, log_ls, log_amp, log_tausq, y_mean, y_std, *warp = up
+    state = state._replace(chol=chol, alpha=alpha, log_ls=log_ls,
+                           log_amp=log_amp, log_tausq=log_tausq,
+                           y_mean=y_mean, y_std=y_std)
+    if warp:
+        state = state._replace(log_wa=warp[0], log_wb=warp[1])
+    return state
+
+
 def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
                   optimizer: str, x0,
                   host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
@@ -710,7 +747,10 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # host.
         best_log, best_f = _fit_f64_host(state, cfg, d, int(maxiter),
                                          optimizer, x0, host_xy=host_xy)
-        new_state = set_hyperparams(state, cfg, jnp.asarray(best_log))
+        if host_xy is not None:
+            new_state = _refresh_via_host(state, cfg, d, best_log, host_xy)
+        else:
+            new_state = _set_hp_jit(state, cfg, jnp.asarray(best_log))
         return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
     if fit_dtype == "float32" and config.fit_f64_select():
         # exact-f64 model SELECTION across the f32 restart endpoints: the
@@ -723,7 +763,7 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         best_np, best_f = _f64_select(state, cfg, d, all_log, all_f,
                                       host_xy=host_xy)
         best_log = jnp.asarray(best_np)
-        new_state = _set_hp_jit(state, cfg, best_log)
+        new_state = None  # refresh deferred to the common tail below
     else:
         run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
         new_state, best_log, best_f = run(state, x0)
@@ -740,11 +780,20 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             best_log, best_f = _fit_f64_host(
                 state, cfg, d, int(config.fit_polish_iters()), optimizer,
                 jnp.asarray(best_log)[None, :], host_xy=host_xy)
-            new_state = set_hyperparams(state, cfg, jnp.asarray(best_log))
+            new_state = None
         else:
             pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
                             fit_dtype="float64")
             new_state, best_log, best_f = pol(state, best_log[None, :])
+    if new_state is None:
+        # deferred full refresh for the selected hyperparameters: on TPU the
+        # f64 O(cap^3) refresh is emulated (~0.11 s at cap 1024) — route it
+        # to the host when the (x, y) mirror is available (same gate as the
+        # host f64 fits), else run it on-device.
+        if _route_f64_to_host() and host_xy is not None:
+            new_state = _refresh_via_host(state, cfg, d, best_log, host_xy)
+        else:
+            new_state = _set_hp_jit(state, cfg, jnp.asarray(best_log))
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 
 

@@ -307,6 +307,61 @@ def test_host_routed_fit_matches_device_fit(monkeypatch):
     assert abs(f_host - float(f_dev)) < 1e-3 * abs(float(f_dev))
 
 
+def test_host_routed_refresh_matches_device_refresh():
+    """_refresh_via_host must produce the same state as the on-device
+    set_hyperparams (same f64 graph, host-built from the mirror)."""
+    from bobe_tpu.models import gp as gpm
+
+    for warp in (False, True):
+        x, y = make_data(30, 2, seed=11)
+        gp = GP(train_x=x, train_y=y, input_warp=warp)
+        bounds = gpm.hyperparam_bounds_log(gp.cfg, 2)
+        rng = np.random.default_rng(3)
+        lp = rng.uniform(np.asarray(bounds[0]), np.asarray(bounds[1]))
+        dev = gpm.set_hyperparams(gp.state, gp.cfg, jnp.asarray(lp))
+        host = gpm._refresh_via_host(gp.state, gp.cfg, 2, lp,
+                                     gp._host_mirror())
+        for leaf in ("chol", "alpha", "log_ls", "log_amp", "log_tausq",
+                     "y_mean", "y_std"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(host, leaf)),
+                np.asarray(getattr(dev, leaf)), rtol=1e-12, atol=1e-12,
+                err_msg=f"{leaf} (warp={warp})")
+        if warp:
+            np.testing.assert_allclose(np.asarray(host.log_wa),
+                                       np.asarray(dev.log_wa), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(host.log_wb),
+                                       np.asarray(dev.log_wb), rtol=1e-12)
+
+
+def test_fit_with_forced_host_routing_matches(monkeypatch):
+    """fit() with host routing forced on (the TPU production path) must land
+    on the same hyperparameters and refreshed state as the device path."""
+    from bobe_tpu.models import gp as gpm
+
+    x, y = make_data(40, 2, seed=13)
+    rng_a, rng_b = np.random.default_rng(5), np.random.default_rng(5)
+    gp_a = GP(train_x=x, train_y=y)
+    gp_b = GP(train_x=x, train_y=y)
+    st_dev, info_dev = gpm.fit(gp_a.state, gp_a.cfg, maxiter=100,
+                               n_restarts=2, rng=rng_a,
+                               host_xy=gp_a._host_mirror())
+    monkeypatch.setattr(gpm, "_route_f64_to_host", lambda: True)
+    st_host, info_host = gpm.fit(gp_b.state, gp_b.cfg, maxiter=100,
+                                 n_restarts=2, rng=rng_b,
+                                 host_xy=gp_b._host_mirror())
+    # on the CPU test platform "host" and "device" are the same backend up to
+    # the mirror-rebuilt standardization (last-ulp summation order): the fits
+    # must land in the same basin with matching refreshed predictions
+    np.testing.assert_allclose(np.asarray(info_host["params"]),
+                               np.asarray(info_dev["params"]), rtol=5e-3)
+    xq = jnp.asarray(np.random.default_rng(6).uniform(size=(7, 2)))
+    np.testing.assert_allclose(
+        np.asarray(gpm.predict_mean(st_host, gp_b.cfg, xq)),
+        np.asarray(gpm.predict_mean(st_dev, gp_a.cfg, xq)),
+        rtol=1e-5, atol=1e-8)
+
+
 def test_loo_calibration_detects_overconfidence():
     """RMS LOO z-score ~ 1 for a well-specified fit; >> 1 when the model is
     over-confident (mis-specified smoothness with near-zero noise)."""
