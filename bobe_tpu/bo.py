@@ -111,21 +111,30 @@ class BOBE:
             self.pool.worker_loop(self.loglikelihood)
             return
 
-        self._setup_main_process(seed, optimizer, save, save_dir, save_step,
-                                 n_cobaya_init, n_sobol_init, acq, use_clf,
-                                 clf_type, clf_nsigma_threshold, minus_inf,
-                                 resume)
-        if resume:
-            # resume without an explicit file resumes from this run's own
-            # save path (the bare flag used to fall through BOTH branches
-            # and crash below with self.gp never created)
-            self._handle_resume(resume_file if resume_file is not None
-                                else self.save_path, use_clf)
-        if self.fresh_start:
-            self._handle_fresh_start(
-                n_cobaya_init, n_sobol_init, init_train_x, init_train_y,
-                use_clf, clf_type, clf_use_size, clf_update_step,
-                clf_nsigma_threshold, minus_inf, optimizer, dict(gp_kwargs or {}))
+        try:
+            self._setup_main_process(seed, optimizer, save, save_dir, save_step,
+                                     n_cobaya_init, n_sobol_init, acq, use_clf,
+                                     clf_type, clf_nsigma_threshold, minus_inf,
+                                     resume)
+            if resume:
+                # resume without an explicit file resumes from this run's own
+                # save path (the bare flag used to fall through BOTH branches
+                # and crash below with self.gp never created)
+                self._handle_resume(resume_file if resume_file is not None
+                                    else self.save_path, use_clf)
+            if self.fresh_start:
+                self._handle_fresh_start(
+                    n_cobaya_init, n_sobol_init, init_train_x, init_train_y,
+                    use_clf, clf_type, clf_use_size, clf_update_step,
+                    clf_nsigma_threshold, minus_inf, optimizer,
+                    dict(gp_kwargs or {}))
+        except BaseException:
+            # rank 0 failing mid-setup (e.g. an initial-point evaluation)
+            # must still release worker ranks parked in worker_loop — the
+            # EXIT broadcast in close() is their only way out (close() is
+            # idempotent, so a later successful run() closing again is fine)
+            self.pool.close()
+            raise
 
         # best-point bookkeeping
         if self.gp.train_y.size > 0:
@@ -503,100 +512,107 @@ class BOBE:
         if not self.is_main:
             return None
 
-        self.min_evals, self.max_evals = min_evals, max_evals
-        self.max_gp_size, self.logz_threshold = max_gp_size, logz_threshold
-        self.samples_dict, self.results_dict = {}, {}
+        # the whole main loop runs under close-on-exit: any exception on
+        # rank 0 must still broadcast TASK_EXIT (via the idempotent
+        # pool.close()) or distributed worker ranks hang forever at the
+        # next collective in worker_loop
+        try:
+            self.min_evals, self.max_evals = min_evals, max_evals
+            self.max_gp_size, self.logz_threshold = max_gp_size, logz_threshold
+            self.samples_dict, self.results_dict = {}, {}
 
-        # resume short-circuit (reference bo.py:1047-1078)
-        if self.prev_converged and self.prev_convergence_delta is not None:
-            if self.prev_convergence_delta < logz_threshold:
-                log.info("Previous run already converged below the new "
-                         "threshold; skipping the BO loop")
-                self.converged = True
-                self.termination_reason = "Already converged in previous run"
-                if self.results_manager.convergence_history:
-                    self.results_dict["logz"] = dict(
-                        self.results_manager.convergence_history[-1].logz_dict)
-                if self.results_manager.final_samples is not None:
-                    self.samples_dict = {
-                        "x": self.results_manager.final_samples,
-                        "weights": self.results_manager.final_weights,
-                        "logl": self.results_manager.final_loglikes}
-                self.finalise_results()
-                self.pool.close()
-                return self.results_dict
-            log.info("Previous run converged above the new threshold; continuing")
+            # resume short-circuit (reference bo.py:1047-1078)
+            if self.prev_converged and self.prev_convergence_delta is not None:
+                if self.prev_convergence_delta < logz_threshold:
+                    log.info("Previous run already converged below the new "
+                             "threshold; skipping the BO loop")
+                    self.converged = True
+                    self.termination_reason = "Already converged in previous run"
+                    if self.results_manager.convergence_history:
+                        self.results_dict["logz"] = dict(
+                            self.results_manager.convergence_history[-1].logz_dict)
+                    if self.results_manager.final_samples is not None:
+                        self.samples_dict = {
+                            "x": self.results_manager.final_samples,
+                            "weights": self.results_manager.final_weights,
+                            "logl": self.results_manager.final_loglikes}
+                    self.finalise_results()
+                    self.pool.close()
+                    return self.results_dict
+                log.info("Previous run converged above the new threshold; continuing")
 
-        self.convergence_n_iters = convergence_n_iters
-        self.ei_goal_log = np.log(ei_goal)
-        self.do_final_ns = do_final_ns
-        self.fit_n_points, self.ns_n_points = fit_n_points, ns_n_points
-        self.batch_size = batch_size
-        self.n_points_since_last_fit = 0
-        self.n_points_since_last_ns = 0
-        self.num_hmc_warmup, self.num_hmc_samples = num_hmc_warmup, num_hmc_samples
-        self.mc_points_size, self.hmc_thinning = mc_points_size, thinning
-        self.hmc_num_chains, self.mc_points_method = num_chains, mc_points_method
-        self.zeta_ei = zeta_ei
+            self.convergence_n_iters = convergence_n_iters
+            self.ei_goal_log = np.log(ei_goal)
+            self.do_final_ns = do_final_ns
+            self.fit_n_points, self.ns_n_points = fit_n_points, ns_n_points
+            self.batch_size = batch_size
+            self.n_points_since_last_fit = 0
+            self.n_points_since_last_ns = 0
+            self.num_hmc_warmup, self.num_hmc_samples = num_hmc_warmup, num_hmc_samples
+            self.mc_points_size, self.hmc_thinning = mc_points_size, thinning
+            self.hmc_num_chains, self.mc_points_method = num_chains, mc_points_method
+            self.zeta_ei = zeta_ei
 
-        # distributed load balancing: round batch to the pool size
-        if self.pool.is_distributed:
-            n_proc = self.pool.size
-            if self.batch_size % n_proc != 0:
-                self.batch_size = max((self.batch_size // n_proc) * n_proc, n_proc)
-                log.info(f"Adjusted batch_size to {self.batch_size} "
-                         f"(multiple of {n_proc} processes)")
+            # distributed load balancing: round batch to the pool size
+            if self.pool.is_distributed:
+                n_proc = self.pool.size
+                if self.batch_size % n_proc != 0:
+                    self.batch_size = max((self.batch_size // n_proc) * n_proc, n_proc)
+                    log.info(f"Adjusted batch_size to {self.batch_size} "
+                             f"(multiple of {n_proc} processes)")
 
-        self.converged = False
-        self.convergence_counter = 0
-        self.min_delta_seen = np.inf
-        self.termination_reason = "Max evaluation budget reached"
-        self.results_manager.settings.update({
-            "min_evals": min_evals, "max_evals": max_evals,
-            "max_gp_size": max_gp_size, "logz_threshold": logz_threshold,
-            "convergence_n_iters": convergence_n_iters, "ei_goal": ei_goal,
-            "do_final_ns": do_final_ns, "fit_n_points": fit_n_points,
-            "batch_size": self.batch_size, "ns_n_points": ns_n_points,
-            "num_hmc_warmup": num_hmc_warmup, "num_hmc_samples": num_hmc_samples,
-            "mc_points_size": mc_points_size, "thinning": thinning,
-            "num_chains": num_chains, "mc_points_method": mc_points_method,
-            "zeta_ei": zeta_ei})
+            self.converged = False
+            self.convergence_counter = 0
+            self.min_delta_seen = np.inf
+            self.termination_reason = "Max evaluation budget reached"
+            self.results_manager.settings.update({
+                "min_evals": min_evals, "max_evals": max_evals,
+                "max_gp_size": max_gp_size, "logz_threshold": logz_threshold,
+                "convergence_n_iters": convergence_n_iters, "ei_goal": ei_goal,
+                "do_final_ns": do_final_ns, "fit_n_points": fit_n_points,
+                "batch_size": self.batch_size, "ns_n_points": ns_n_points,
+                "num_hmc_warmup": num_hmc_warmup, "num_hmc_samples": num_hmc_samples,
+                "mc_points_size": mc_points_size, "thinning": thinning,
+                "num_chains": num_chains, "mc_points_method": mc_points_method,
+                "zeta_ei": zeta_ei})
 
-        acqs = [acq] if isinstance(acq, str) else list(acq)
+            acqs = [acq] if isinstance(acq, str) else list(acq)
 
-        # cold-start pipelining: compile every first-iteration graph in
-        # background threads while the main thread proceeds — cold-process
-        # walls on tunneled TPUs are dominated by serial compile-cache loads
-        # (utils/prewarm.py; BOBE_TPU_PREWARM=0 disables)
-        from .utils import prewarm as _prewarm
-        self._prewarmer = (_prewarm.prewarm_run(self, acqs)
-                           if _prewarm.prewarm_enabled() else None)
-        self._bucket_warmed_cap = 0
-        # host/device pipelining: run the MC-pool refresh concurrently with
-        # the likelihood batch (see _start_refresh_async)
-        self._overlap_refresh = os.environ.get(
-            "BOBE_TPU_OVERLAP_REFRESH", "1") != "0"
+            # cold-start pipelining: compile every first-iteration graph in
+            # background threads while the main thread proceeds — cold-process
+            # walls on tunneled TPUs are dominated by serial compile-cache loads
+            # (utils/prewarm.py; BOBE_TPU_PREWARM=0 disables)
+            from .utils import prewarm as _prewarm
+            self._prewarmer = (_prewarm.prewarm_run(self, acqs)
+                               if _prewarm.prewarm_enabled() else None)
+            self._bucket_warmed_cap = 0
+            # host/device pipelining: run the MC-pool refresh concurrently with
+            # the likelihood batch (see _start_refresh_async)
+            self._overlap_refresh = os.environ.get(
+                "BOBE_TPU_OVERLAP_REFRESH", "1") != "0"
 
-        self.current_iteration = self.start_iteration
-        for a in acqs:
-            if a.lower() not in _ACQ_FUNCS:
-                raise ValueError(f"Invalid acquisition '{a}'; options: "
-                                 f"{list(_ACQ_FUNCS)}")
-            if a.lower() in ("wipv", "wipstd"):
-                # run_weighted_integrated_posterior constructs its own
-                # acquisition instance (it is also a public entry point)
-                self.run_weighted_integrated_posterior(
-                    _ACQ_FUNCS[a.lower()], ii=self.current_iteration)
-            else:
-                self.acquisition = _ACQ_FUNCS[a.lower()](optimizer=self.optimizer)
-                self.run_EI(ii=self.current_iteration)
+            self.current_iteration = self.start_iteration
+            for a in acqs:
+                if a.lower() not in _ACQ_FUNCS:
+                    raise ValueError(f"Invalid acquisition '{a}'; options: "
+                                     f"{list(_ACQ_FUNCS)}")
+                if a.lower() in ("wipv", "wipstd"):
+                    # run_weighted_integrated_posterior constructs its own
+                    # acquisition instance (it is also a public entry point)
+                    self.run_weighted_integrated_posterior(
+                        _ACQ_FUNCS[a.lower()], ii=self.current_iteration)
+                else:
+                    self.acquisition = _ACQ_FUNCS[a.lower()](optimizer=self.optimizer)
+                    self.run_EI(ii=self.current_iteration)
 
-        log.info(f"Final best point {self.best} with value = {self.best_f:.6f} "
-                 f"(iteration {self.best_pt_iteration})")
-        log.info(f"Sampling stopped: {self.termination_reason}")
-        self.finalise_results()
-        self.pool.close()
-        return self.results_dict
+            log.info(f"Final best point {self.best} with value = {self.best_f:.6f} "
+                     f"(iteration {self.best_pt_iteration})")
+            log.info(f"Sampling stopped: {self.termination_reason}")
+            self.finalise_results()
+            self.pool.close()
+            return self.results_dict
+        finally:
+            self.pool.close()
 
     # ----------------------------------------------------------------- loops
 

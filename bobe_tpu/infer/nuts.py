@@ -291,8 +291,13 @@ class DualAveraging(NamedTuple):
 
 
 def _da_init(eps0):
+    # log_eps_avg starts at log(eps0), NOT 0: with zero adaptation steps the
+    # final step size must be eps0 itself (exp(0)=1.0 would silently discard
+    # a warm-started eps when num_warmup=0). The first _da_update fully
+    # overwrites the average (w = t^-kappa = 1 at t=1), so warmup>=1 behavior
+    # is unchanged.
     log_eps = jnp.log(eps0)
-    return DualAveraging(log_eps, jnp.zeros_like(log_eps), jnp.zeros_like(log_eps),
+    return DualAveraging(log_eps, log_eps, jnp.zeros_like(log_eps),
                          jnp.log(10.0) + log_eps, jnp.zeros_like(log_eps))
 
 

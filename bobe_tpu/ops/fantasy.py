@@ -45,19 +45,27 @@ def posterior_batch(kernel_name, x_pad, mask, L, xq, lengthscales, amp, noise):
     return V, var
 
 
-def wip_sweep(kernel_name, xq, V, var, lengthscales, amp, noise, y_std, use_std):
+def wip_sweep(kernel_name, xq, V, var, lengthscales, amp, noise, y_std, use_std,
+              n_valid=None):
     """Evaluate WIPV / WIPStd for every candidate in the MC pool at once.
 
     xq: (m, d) MC points (= candidate pool); V, var from posterior_batch.
     Returns acq: (m,) where acq[c] = mean_m g(var'(m | add c)) * y_std^p,
     g = identity (WIPV, p=2) or sqrt (WIPStd, p=1) — matching the reference's
     physical-scale convention (gp.py:576).
+
+    n_valid (static): when the pool was padded for even device sharding, the
+    integration mean runs over the first n_valid columns only — padded
+    duplicate columns would otherwise bias every candidate's value toward
+    the repeated point.
     """
     Kqq = kr.cross_kernel(kernel_name, xq, xq, lengthscales, amp)
     C = Kqq - V.T @ V  # (m, m) posterior cross-covariance cov(c, m)
     fantasy = var[None, :] - (C * C) / var[:, None]
     fantasy = jnp.where(jnp.isnan(fantasy), config.SAFE_NOISE_FLOOR, fantasy)
     fantasy = jnp.maximum(fantasy, config.SAFE_NOISE_FLOOR)
+    if n_valid is not None:
+        fantasy = fantasy[:, :n_valid]
     if use_std:
         return jnp.mean(jnp.sqrt(fantasy), axis=1) * y_std
     return jnp.mean(fantasy, axis=1) * y_std**2

@@ -104,7 +104,8 @@ def sharded_predict(gp, xq, mesh: Optional[Mesh] = None):
 
 
 @lru_cache(maxsize=16)
-def _sharded_wip_core(cfg: gpm.GPTrainConfig, use_std: bool, mesh: Mesh):
+def _sharded_wip_core(cfg: gpm.GPTrainConfig, use_std: bool, mesh: Mesh,
+                      n_valid: Optional[int] = None):
     from ..ops.fantasy import posterior_batch, wip_sweep
 
     @jax.jit
@@ -117,8 +118,10 @@ def _sharded_wip_core(cfg: gpm.GPTrainConfig, use_std: bool, mesh: Mesh):
         V, var = posterior_batch(cfg.kernel, gpm.train_coords(state, cfg),
                                  state.mask(), state.chol,
                                  mc_w, ls, amp, cfg.noise)
+        # n_valid: the integration mean must skip padded duplicate columns,
+        # or every candidate's value is biased toward the repeated point
         return wip_sweep(cfg.kernel, mc_w, V, var, ls, amp, cfg.noise,
-                         state.y_std, use_std)
+                         state.y_std, use_std, n_valid=n_valid)
 
     return run
 
@@ -128,8 +131,12 @@ def sharded_wip_sweep(gp, mc_points, use_std: bool, mesh: Optional[Mesh] = None)
     mesh = mesh if mesh is not None else get_mesh()
     mc_points = jnp.atleast_2d(mc_points)
     mc_p, n = pad_to_multiple(mc_points, mesh.size)
-    run = _sharded_wip_core(gp.cfg, use_std, mesh)
+    run = _sharded_wip_core(gp.cfg, use_std, mesh,
+                            n if mc_p.shape[0] != n else None)
     return run(gp.state, mc_p)[:n]
+
+
+_SHARDED_NUTS_CACHE: dict = {}
 
 
 def sharded_nuts(apply_fn, ctx, init_z, keys, mesh: Optional[Mesh] = None,
@@ -138,6 +145,10 @@ def sharded_nuts(apply_fn, ctx, init_z, keys, mesh: Optional[Mesh] = None,
 
     init_z/keys: (n_chains, ...) with n_chains a multiple of mesh.size for an
     even layout (padding is the caller's choice).
+
+    The jitted runner is cached on (apply_fn, chain kwargs): building a fresh
+    ``jax.jit`` wrapper per call would miss jit's function-identity cache and
+    retrace the NUTS program on every invocation.
     """
     from functools import partial
 
@@ -147,6 +158,17 @@ def sharded_nuts(apply_fn, ctx, init_z, keys, mesh: Optional[Mesh] = None,
     sh = batch_sharded(mesh)
     init_z = jax.device_put(init_z, sh)
     keys = jax.device_put(keys, sh)
-    runner = jax.vmap(partial(run_chain, apply_fn, **chain_kwargs),
-                      in_axes=(None, 0, 0))
-    return jax.jit(runner)(ctx, init_z, keys)
+    try:
+        cache_key = (apply_fn, tuple(sorted(chain_kwargs.items())))
+        hash(cache_key)
+    except TypeError:  # unhashable kwarg (e.g. array): fall back to uncached
+        cache_key = None
+    runner = None if cache_key is None else _SHARDED_NUTS_CACHE.get(cache_key)
+    if runner is None:
+        runner = jax.jit(jax.vmap(partial(run_chain, apply_fn, **chain_kwargs),
+                                  in_axes=(None, 0, 0)))
+        if cache_key is not None:
+            if len(_SHARDED_NUTS_CACHE) >= 16:
+                _SHARDED_NUTS_CACHE.pop(next(iter(_SHARDED_NUTS_CACHE)))
+            _SHARDED_NUTS_CACHE[cache_key] = runner
+    return runner(ctx, init_z, keys)

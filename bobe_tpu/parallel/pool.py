@@ -379,11 +379,23 @@ class DistributedPool(EvalPool):
         return np.asarray(multihost_utils.process_allgather(local_rows))
 
     def _eval_shard(self, likelihood, points):
+        # per-point exceptions become NaN so the all-gather is ALWAYS posted
+        # (a raise here would desynchronize the collective protocol and hang
+        # every other rank); rank 0 turns the NaN into a fail-fast
+        # RuntimeError after the combine, and close()'s EXIT broadcast then
+        # releases the workers. Likelihood adapters already map user-level
+        # failures to minus_inf (likelihood.py _safe_eval), so a NaN can only
+        # mean a pool/likelihood-wrapper bug — fail-fast like the reference
+        # (pool.py:133), but without deadlocking the group.
         n = len(points)
         idxs = np.arange(self.rank, n, self.size)
         vals = np.full(n, np.nan, dtype=np.float64)
         for i in idxs:
-            vals[i] = likelihood(points[i])
+            try:
+                vals[i] = likelihood(points[i])
+            except Exception as e:
+                log.error(f"likelihood evaluation raised on rank {self.rank} "
+                          f"(point {i}): {e!r}")
         return vals
 
     def run_map_objective(self, likelihood, points) -> np.ndarray:
@@ -392,23 +404,30 @@ class DistributedPool(EvalPool):
         points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         if self.size == 1:
             return SerialPool().run_map_objective(likelihood, points)
+        if not self.is_main_process:
+            # a worker rank calling this directly would post a collective
+            # sequence mismatched with rank 0's (no header/points broadcast)
+            # and hang the process group — workers must sit in worker_loop
+            raise RuntimeError(
+                "DistributedPool.run_map_objective is rank-0 only; worker "
+                "ranks must block in worker_loop()")
         if self._dyn:
-            if self.is_main_process:
-                self._bcast(np.asarray(
-                    [self.TASK_EVAL_DYN, len(points), points.shape[1]],
-                    dtype=np.float64))
+            self._bcast(np.asarray(
+                [self.TASK_EVAL_DYN, len(points), points.shape[1]],
+                dtype=np.float64))
             return self._dynamic_round(likelihood, points)
-        if self.is_main_process:
-            self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]],
-                                   dtype=np.float64))
-            pts = self._bcast(points)
-        else:
-            pts = points  # workers receive the broadcast inside worker_loop
+        self._bcast(np.asarray([self.TASK_EVAL, len(points), points.shape[1]],
+                               dtype=np.float64))
+        pts = self._bcast(points)
         local = self._eval_shard(likelihood, pts)
         allv = self._allgather_rows(local)  # (size, n)
         # nan-free combine: each column has exactly one non-nan entry
         cols = ~np.isnan(allv)
         out = allv[np.argmax(cols, axis=0), np.arange(allv.shape[1])]
+        if np.isnan(out).any():
+            raise RuntimeError(
+                "likelihood evaluation failed on a worker rank (see that "
+                "rank's log for the exception)")
         return out
 
     def worker_loop(self, likelihood):
@@ -454,6 +473,12 @@ class DistributedPool(EvalPool):
         return self._cobaya_shard(likelihood, n_points)
 
     def close(self):
+        # idempotent: run() closes in a finally block AND on its normal exit
+        # paths; a second EXIT broadcast would have no worker_loop partner
+        # (workers leave the loop at the first one) and hang the group
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         if self.size > 1 and self.is_main_process:
             self._bcast(np.asarray([self.TASK_EXIT, 0, 0], dtype=np.float64))
 

@@ -119,11 +119,27 @@ class BOBEResults:
     # ------------------------------------------------------------- timing
 
     def enable_jax_profiler(self, trace_dir: Optional[str] = None):
-        """Capture a jax.profiler trace for every timed phase (viewable in
-        TensorBoard / Perfetto). The reference only had the wall-time ledger;
-        this adds device-level visibility."""
+        """Capture a jax.profiler trace with every timed phase marked as a
+        TraceAnnotation range (viewable in TensorBoard / Perfetto). Starts a
+        real trace session — TraceAnnotations are no-ops without one. Call
+        :meth:`disable_jax_profiler` (or finalize the run) to flush the trace
+        to disk. The reference only had the wall-time ledger; this adds
+        device-level visibility."""
+        import jax
+
         self._trace_dir = trace_dir or os.path.join(self.save_dir, "jax_trace")
         os.makedirs(self._trace_dir, exist_ok=True)
+        if not getattr(self, "_tracing", False):
+            jax.profiler.start_trace(self._trace_dir)
+            self._tracing = True
+
+    def disable_jax_profiler(self):
+        """Stop the profiler trace session and flush it to the trace dir."""
+        if getattr(self, "_tracing", False):
+            import jax
+
+            jax.profiler.stop_trace()
+            self._tracing = False
 
     def start_timing(self, phase: str):
         self._phase_starts[phase] = time.time()
@@ -231,6 +247,9 @@ class BOBEResults:
             "converged": self.converged,
             "termination_reason": self.termination_reason,
             "phase_times": self._phase_times,
+            # cumulative wall so a resumed process reports run-total
+            # percentages instead of phase_times/new-process-wall > 100%
+            "elapsed_walltime": time.time() - self._t0,
             "final_logz": self.final_logz,
             "gp_info": self.gp_info,
         }
@@ -251,8 +270,13 @@ class BOBEResults:
         self.converged = bool(d.get("converged", False))
         self.termination_reason = d.get("termination_reason")
         self.final_logz = dict(d.get("final_logz", {}))
+        self.gp_info = dict(d.get("gp_info", {}) or {})
         for p, t in d.get("phase_times", {}).items():
             self._phase_times[p] = float(t)
+        # shift _t0 so total_runtime spans ALL process generations — the
+        # restored phase_times are cumulative, and mixing them with a fresh
+        # process wall made percentages exceed 100% and 'untracked' negative
+        self._t0 = time.time() - float(d.get("elapsed_walltime", 0.0))
 
     def _load_existing_results(self):
         fn = f"{self.base}_intermediate.json"
@@ -282,8 +306,6 @@ class BOBEResults:
     def save_intermediate(self, gp=None, filename: Optional[str] = None):
         """Crash-recovery checkpoint: state JSON + GP npz."""
         name = filename or f"{self.output_file}_intermediate"
-        if not name.endswith("_intermediate") and filename is None:
-            name = f"{name}_intermediate"
         path = self._path(name if name.endswith(".json") else f"{name}.json")
         # atomic replace: crash-recovery state must survive a kill mid-write
         tmp = f"{path}.tmp"
@@ -357,6 +379,7 @@ class BOBEResults:
         """Store final results and (unless ``write=False``, for BOBE
         save=False runs) write every artifact (reference
         results.py:516,654-780)."""
+        self.disable_jax_profiler()  # flush any active trace session
         self.converged = bool(converged)
         self.termination_reason = termination_reason
         self.final_logz = {k: float(v) for k, v in (logz_dict or {}).items()}

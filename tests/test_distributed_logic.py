@@ -66,3 +66,51 @@ def test_close_broadcasts_exit():
     pool = make_pool_stub(rank=0, size=2, transcripts=np.zeros(1))
     pool.close()
     assert int(pool._sent[-1][0]) == DistributedPool.TASK_EXIT
+
+
+def test_close_is_idempotent():
+    """run() closes in a finally block on top of its normal-path closes; a
+    second EXIT broadcast would have no worker_loop partner and hang."""
+    pool = make_pool_stub(rank=0, size=2, transcripts=np.zeros(1))
+    pool.close()
+    pool.close()
+    exits = [s for s in pool._sent if int(s[0]) == DistributedPool.TASK_EXIT]
+    assert len(exits) == 1
+
+
+def test_worker_rank_direct_call_raises():
+    """Direct run_map_objective from a worker rank would post a collective
+    sequence mismatched with rank 0's and hang the group — it must raise."""
+    lk = Likelihood(lambda x: 0.0, ["a"], param_bounds=np.array([[0.0], [1.0]]))
+    pool = make_pool_stub(rank=1, size=2, transcripts=np.zeros(2))
+    with pytest.raises(RuntimeError, match="rank-0 only"):
+        pool.run_map_objective(lk, np.zeros((2, 1)))
+
+
+def test_eval_shard_exception_becomes_nan_not_raise():
+    """_eval_shard must always post its all-gather: a raise would leave every
+    other rank blocked at the collective. Exceptions become NaN locally."""
+    class RawBoom:
+        minus_inf = -1e10
+
+        def __call__(self, p):
+            raise ValueError("pool-level bug")
+
+    pool = DistributedPool.__new__(DistributedPool)
+    pool.rank, pool.size = 0, 2
+    vals = pool._eval_shard(RawBoom(), np.zeros((4, 1)))
+    assert np.isnan(vals[0]) and np.isnan(vals[2])  # rank-0 shard failed
+    assert np.isnan(vals[1]) and np.isnan(vals[3])  # other rank's (unset)
+
+
+def test_remote_worker_failure_fails_fast_on_rank0():
+    """A NaN surviving the ordered combine (a worker-side failure) must raise
+    on rank 0 instead of silently feeding NaN into the GP targets."""
+    lk = Likelihood(lambda x: -float(np.sum(x**2)), ["a", "b"],
+                    param_bounds=np.array([[0, 1], [0, 1.0]]).T)
+    pts = np.random.default_rng(0).uniform(size=(4, 2))
+    truth = np.array([lk(p) for p in pts])
+    truth[2] = np.nan  # emulate rank 2's point failing remotely
+    pool = make_pool_stub(rank=0, size=3, transcripts=truth)
+    with pytest.raises(RuntimeError, match="failed on a worker rank"):
+        pool.run_map_objective(lk, pts)

@@ -124,3 +124,18 @@ def test_get_mc_samples_forwards_tuning_to_ehmc():
     assert out["warm_state"]["num_chains"] == 16
     assert out["warm_state"]["last_z"].shape[0] == 16
     assert out["x"].shape[0] >= 256
+
+
+def test_zero_warmup_honors_warm_step_size():
+    """num_warmup=0 with a warm (eps, mass) must sample at the WARM step
+    size: dual averaging used to initialize log_eps_avg to 0, so zero
+    adaptation steps silently produced eps_final = exp(0) = 1.0 regardless
+    of the warm value."""
+    eps_warm = 0.0625
+    warm = (jnp.asarray(eps_warm), jnp.eye(2, dtype=jnp.float64),
+            jnp.eye(2, dtype=jnp.float64))
+    init = jax.random.normal(jax.random.PRNGKey(0), (8, 2), dtype=jnp.float64)
+    _, _, diag = run_ensemble(_gauss_logp, None, init, jax.random.PRNGKey(1),
+                              num_warmup=0, num_samples=4, thinning=1,
+                              warm=warm, adapt_mass=False)
+    assert float(diag["step_size"]) == pytest.approx(eps_warm)

@@ -125,6 +125,45 @@ def test_sharded_wip_sweep_matches_unsharded():
     np.testing.assert_allclose(np.asarray(acq_s), np.asarray(acq_u), rtol=1e-8)
 
 
+def test_sharded_wip_sweep_uneven_pool_matches_unsharded():
+    """Pool size NOT divisible by the mesh: the padding added for an even
+    device layout must not leak into the integration mean (padded duplicate
+    columns biased every candidate toward the repeated point)."""
+    from bobe_tpu.acquisition import _wip_sweep_core
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(size=(30, 2))
+    y = -np.sum((x - 0.5) ** 2, 1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    mc = jnp.asarray(rng.uniform(size=(19, 2)))  # 19 % 8 != 0
+    acq_s = pmesh.sharded_wip_sweep(gp, mc, use_std=True)
+    acq_u, _, _ = _wip_sweep_core(gp.cfg, True)(gp.state, mc)
+    assert acq_s.shape == acq_u.shape
+    np.testing.assert_allclose(np.asarray(acq_s), np.asarray(acq_u), rtol=1e-8)
+
+
+def test_sharded_nuts_runner_is_cached():
+    """Repeat sharded_nuts calls must reuse the jitted runner (a fresh jit
+    wrapper per call misses jit's function-identity cache and retraces)."""
+    from bobe_tpu.parallel import mesh as pmesh
+
+    def logp(ctx, z):
+        return -0.5 * z @ z
+
+    kwargs = dict(num_warmup=16, num_samples=8, thinning=1, max_depth=4)
+    init = jax.random.normal(jax.random.PRNGKey(5), (8, 2), dtype=jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    pmesh._SHARDED_NUTS_CACHE.clear()
+    out1 = pmesh.sharded_nuts(logp, None, init, keys, **kwargs)
+    assert len(pmesh._SHARDED_NUTS_CACHE) == 1
+    runner = next(iter(pmesh._SHARDED_NUTS_CACHE.values()))
+    out2 = pmesh.sharded_nuts(logp, None, init, keys, **kwargs)
+    assert next(iter(pmesh._SHARDED_NUTS_CACHE.values())) is runner
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
 def test_graft_entry_probe_parsing(monkeypatch):
     """_probe_devices parses the subprocess marker line and degrades to 0 on
     timeout/garbage (a dead accelerator tunnel makes jax.devices() BLOCK, so

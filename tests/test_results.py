@@ -78,6 +78,27 @@ def test_resume_roundtrip(tmp_path):
     assert rm2.convergence_history[-1].threshold == pytest.approx(0.1)
 
 
+def test_resume_restores_gp_info_and_walltime(tmp_path):
+    """A resumed process must carry forward BOTH the gp_info metadata and the
+    cumulative wall clock: phase_times are cumulative across process
+    generations, so mixing them with a fresh-process _t0 made percentages
+    exceed 100% and 'untracked' go negative."""
+    import time
+
+    rm = make_rm(tmp_path)
+    rm.gp_info = {"gp_training_set_size": 123, "classifier_used": False}
+    rm._phase_times["GP Training"] = 500.0
+    rm._t0 = time.time() - 600.0  # emulate a 600 s first-generation run
+    rm.save_intermediate()
+
+    rm2 = make_rm(tmp_path, resume=True)
+    assert rm2.gp_info["gp_training_set_size"] == 123
+    t = rm2.get_timing_summary()
+    assert t["total_runtime"] >= 600.0
+    assert t["percentages"]["GP Training"] <= 100.0
+    assert t["untracked"] >= 0.0
+
+
 def test_load_results(tmp_path):
     rm = make_rm(tmp_path)
     rm.finalize(samples_dict={"x": np.zeros((3, 2)), "weights": np.ones(3),
