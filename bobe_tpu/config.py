@@ -36,17 +36,34 @@ def _host_fingerprint() -> str:
     serialized for the accelerator and survive host hops — migrate them into
     a new host's directory with tools/migrate_jax_cache.py.
     """
+    # x86 exposes "flags"/"model name"; aarch64 exposes "Features"/
+    # "CPU implementer"/"CPU part" — matching only the x86 keys hashed the
+    # same empty blob on every ARM host, defeating the foreign-ISA scoping.
+    # First occurrence per key, file order, early exit once both x86 keys
+    # are present: byte-identical to the original blob on x86, so existing
+    # per-host cache directories stay reachable.
+    return _host_fingerprint_from("/proc/cpuinfo")
+
+
+def _host_fingerprint_from(cpuinfo_path: str) -> str:
+    """See _host_fingerprint; split out so tests can feed cpuinfo dialects."""
     import hashlib
 
+    _KEYS = ("flags", "model name", "Features", "CPU implementer", "CPU part")
     try:
-        keep = []
-        with open("/proc/cpuinfo") as f:
+        seen: dict = {}
+        order = []
+        with open(cpuinfo_path) as f:
             for line in f:
-                if line.startswith(("flags", "model name")):
-                    keep.append(line.strip())
-                    if len(keep) >= 2:
-                        break
-        blob = "|".join(keep)
+                key = line.split(":", 1)[0].strip()
+                if key in _KEYS and key not in seen:
+                    seen[key] = line.strip()
+                    order.append(key)
+                if "flags" in seen and "model name" in seen:
+                    break
+        blob = "|".join(seen[k] for k in order)
+        if not blob:  # unknown /proc/cpuinfo dialect: fall back, never ''
+            raise OSError("no recognizable cpuinfo lines")
     except Exception:  # pragma: no cover - non-Linux
         import platform
 
@@ -147,15 +164,37 @@ def _install_cpu_cache_get_guard() -> None:
         return
     _orig_get = _cc.get_executable_and_time
 
+    try:
+        from jax._src.lru_cache import _CACHE_SUFFIX
+    except Exception:  # pragma: no cover - jax internals moved
+        _CACHE_SUFFIX = "-cache"
+
+    def _entry_size(cache, cache_key):
+        """Entry size in bytes, or None if absent/unknowable. Prefers a
+        stat() on the on-disk entry (jax's LRUCache stores
+        ``<key><_CACHE_SUFFIX>``) — the read-probe fallback pays the full
+        entry read a second time when _orig_get fetches it for real."""
+        base = getattr(cache, "path", None) or getattr(cache, "_path", None)
+        if base is not None:
+            for name in (f"{cache_key}{_CACHE_SUFFIX}", cache_key):
+                p = os.path.join(str(base), name)
+                if os.path.exists(p):
+                    try:
+                        return os.path.getsize(p)
+                    except OSError:
+                        pass
+            return None  # definitive miss: skip the read-probe
+        raw = cache.get(cache_key)
+        return None if raw is None else len(raw)
+
     def _guarded_get(cache_key, compile_options, backend, executable_devices):
         if getattr(backend, "platform", "") == "cpu":
             try:
                 cache = _cc._get_cache(backend)
-                raw = cache.get(cache_key) if cache is not None else None
+                size = _entry_size(cache, cache_key) if cache is not None else None
             except Exception:  # pragma: no cover - probe must never break
-                raw = None
-            if raw is not None and not _cpu_cache_get_allowed(
-                    "cpu", len(raw)):
+                size = None
+            if size is not None and not _cpu_cache_get_allowed("cpu", size):
                 return None, None
         return _orig_get(cache_key, compile_options, backend,
                          executable_devices)

@@ -23,27 +23,27 @@ def trapezoid_logz(logl, logvol, squared: bool = False,
               fraction for rejection-seeded classifier-gated runs, else 0).
     Returns (n,) cumulative logZ values.
     """
+    return np.logaddexp.accumulate(
+        logwt_from(logl, logvol, squared=squared, lv_start=lv_start))
+
+
+def logwt_from(logl, logvol, squared: bool = False, lv_start: float = 0.0):
+    """Per-point trapezoid log-weights (unnormalized posterior weights).
+
+    The single home of the delicate quadrature numerics (volume-difference
+    log1p, the -1e-300 shrinkage clip, the trapezoid average) —
+    ``trapezoid_logz`` is its cumulative sum, so the cumulative logZ and the
+    per-point posterior weights can never desynchronize.
+    """
     logl = np.asarray(logl, dtype=np.float64)
     logvol = np.asarray(logvol, dtype=np.float64)
     # log(X_{i-1} - X_i) = logvol_{i-1} + log1p(-exp(logvol_i - logvol_{i-1}))
     lv_prev = np.concatenate([[lv_start], logvol[:-1]])
     dd = np.clip(logvol - lv_prev, None, -1e-300)
     logdvol = lv_prev + np.log1p(-np.exp(dd))
-    if squared:
+    if squared:  # (dX)^2, for the variance integral int sigma^2 L^2 dX^2
         logdvol = 2.0 * logdvol
     # trapezoid: (L_i + L_{i-1}) / 2
-    l_prev = np.concatenate([[-1e300], logl[:-1]])
-    logwt = np.logaddexp(logl, l_prev) + logdvol + np.log(0.5)
-    return np.logaddexp.accumulate(logwt)
-
-
-def logwt_from(logl, logvol, lv_start: float = 0.0):
-    """Per-point trapezoid log-weights (unnormalized posterior weights)."""
-    logl = np.asarray(logl, dtype=np.float64)
-    logvol = np.asarray(logvol, dtype=np.float64)
-    lv_prev = np.concatenate([[lv_start], logvol[:-1]])
-    dd = np.clip(logvol - lv_prev, None, -1e-300)
-    logdvol = lv_prev + np.log1p(-np.exp(dd))
     l_prev = np.concatenate([[-1e300], logl[:-1]])
     return np.logaddexp(logl, l_prev) + logdvol + np.log(0.5)
 

@@ -49,8 +49,11 @@ class Likelihood:
             self.param_bounds = param_bounds
         self.name = name or "loglikelihood"
         self.minus_inf = float(minus_inf)
+        # sum-of-logs, NOT log-of-product: ~30 dims of 1e10-wide (or 1e-9-
+        # wide) ranges overflow/underflow the product to inf/0 and poison
+        # every evaluation with the +/-inf shift
         self.logprior_vol = float(
-            np.log(np.prod(self.param_bounds[1] - self.param_bounds[0])))
+            np.sum(np.log(self.param_bounds[1] - self.param_bounds[0])))
         log.info(f"Initialized likelihood '{self.name}' with {self.ndim} params; "
                  f"log prior volume = {self.logprior_vol:.4f}")
 

@@ -159,7 +159,10 @@ def _train_bce(apply_logit, params, X, Y, lr, weight_decay, n_epochs,
         np.stack([rng.permutation(n) for _ in range(n_epochs)]))
     (params, _), _ = jax.lax.scan(epoch_step, (params, opt_state), perms)
     final_loss = float(loss_fn(params, X, Y))
-    return params, {"train_loss": f"{final_loss:.2e}", "epochs": n_epochs}
+    # "loss" carries the full-precision value for restart selection;
+    # "train_loss" stays the display string (reference-compatible metrics)
+    return params, {"train_loss": f"{final_loss:.2e}", "loss": final_loss,
+                    "epochs": n_epochs}
 
 
 def _train_with_restarts(init_fn, apply_logit, X, Y, settings, init_params,
@@ -176,9 +179,18 @@ def _train_with_restarts(init_fn, apply_logit, X, Y, settings, init_params,
             n_epochs=settings.get("n_epochs", 300),
             batch_size=min(settings.get("batch_size", 64), len(X)),
             seed=seed)
-        loss = float(metrics["train_loss"])
-        if loss < best_loss:
+        loss = float(metrics["loss"])
+        # NaN < x is always False, so a diverged restart can never win; the
+        # explicit isfinite guard documents that and keeps inf losses out too
+        if np.isfinite(loss) and loss < best_loss:
             best_loss, best_params, best_metrics = loss, params, metrics
+    if best_params is None:
+        # every restart diverged: keep the caller's previous parameters (a
+        # working classifier must never be overwritten with None — gating
+        # would silently vanish mid-run)
+        log.warning("classifier training diverged in all restarts; keeping "
+                    "previous parameters")
+        return init_params, {"train_loss": "nan", "loss": float("nan")}
     return best_params, best_metrics
 
 

@@ -26,7 +26,7 @@ from ..utils.log import get_logger
 from ..utils.seed import get_numpy_rng
 from ..utils.core import get_threshold_for_nsigma
 from .classifiers import CLASSIFIER_REGISTRY, predict_proba_apply
-from .gp import GP, SAFE_NOISE_FLOOR
+from .gp import DEDUP_ATOL, DEDUP_RTOL, GP, SAFE_NOISE_FLOOR
 
 log = get_logger("clf_gp")
 
@@ -39,6 +39,9 @@ class GPwithClassifier(GP):
                  clf_threshold: float = 250.0, gp_threshold: float = 500.0,
                  train_clf_on_init: bool = True,
                  **gp_kwargs):
+        if train_x is None or train_y is None:
+            raise ValueError("GPwithClassifier requires train_x and train_y "
+                             "(the classifier needs labeled data)")
         self.train_x_clf = np.atleast_2d(np.asarray(train_x, dtype=np.float64))
         self.train_y_clf = np.asarray(train_y, dtype=np.float64).reshape(-1)
         self.clf_type = clf_type.lower()
@@ -106,9 +109,18 @@ class GPwithClassifier(GP):
             return
         best_pt = self.train_x_clf[int(np.argmax(self.train_y_clf))]
         train_fn = CLASSIFIER_REGISTRY[self.clf_type]["train_fn"]
-        self.clf_params, self.clf_metrics, self._clf_predict = train_fn(
+        params, metrics, predict = train_fn(
             self.train_x_clf, labels, self.clf_settings,
             init_params=self.clf_params, best_pt=best_pt)
+        if params is None:
+            # training produced nothing usable (e.g. every restart diverged
+            # with no warm start): keep the previous classifier rather than
+            # silently disabling the gate mid-run
+            log.warning("classifier training failed; keeping previous "
+                        f"classifier ({'none' if self.clf_params is None else 'active'})")
+            return
+        self.clf_params, self.clf_metrics, self._clf_predict = (
+            params, metrics, predict)
         log.debug(f"Trained {self.clf_type} classifier on {self.clf_data_size} "
                   f"points: {self.clf_metrics}")
 
@@ -158,8 +170,16 @@ class GPwithClassifier(GP):
 
         keep = []
         for i in range(new_x.shape[0]):
-            dup = np.any(np.all(np.isclose(self.train_x_clf, new_x[i],
-                                           atol=1e-6, rtol=1e-4), axis=1))
+            # dedupe against the existing set AND the already-kept rows of
+            # this batch (two acquisition proposals can converge to the same
+            # point late-run; an intra-batch duplicate would re-enter the GP
+            # at every subset rebuild / state round-trip). Tolerances shared
+            # with the GP-level extend dedupe so the two sets stay in sync.
+            prior = (np.vstack([self.train_x_clf, new_x[keep]])
+                     if keep else self.train_x_clf)
+            dup = np.any(np.all(np.isclose(prior, new_x[i],
+                                           atol=DEDUP_ATOL, rtol=DEDUP_RTOL),
+                                axis=1))
             if dup:
                 log.debug(f"Point {new_x[i]} already in dataset; skipping")
             else:
@@ -288,6 +308,11 @@ class GPwithClassifier(GP):
             kernel_variance_prior=kv_prior,
             lengthscale_prior=ls_prior,
             tausq=float(_item(state.get("tausq", 1.0))),
+            tausq_bounds=tuple(np.asarray(
+                state.get("tausq_bounds", (1e-4, 1e4))).tolist()),
+            param_names=(list(np.asarray(state["param_names"]).tolist())
+                         if state.get("param_names") is not None else None),
+            optimizer_options=_item(state.get("optimizer_options")) or {},
             input_warp=bool(_item(state.get("input_warp", False))),
             warp_bounds=tuple(np.asarray(
                 state.get("warp_bounds", (0.25, 4.0))).tolist()),

@@ -124,3 +124,55 @@ def test_svm_apply_padding_invariant():
     probs = np.asarray(predict_fn(jnp.asarray(x)))
     acc = np.mean((probs > 0.5) == labels)
     assert acc > 0.9
+
+
+def test_update_dedupes_within_batch():
+    """Two identical points in ONE batch must enter train_x_clf once:
+    intra-batch duplicates re-entered the GP at every subset rebuild and
+    state round-trip, degrading the Cholesky toward singularity."""
+    x, y = make_clf_data(n=30)
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_use_size=10)
+    n0 = gp.clf_data_size
+    p = np.array([[0.33, 0.44]])
+    batch = np.vstack([p, p])  # exact intra-batch duplicate
+    gp.update(batch, np.array([-1.0, -1.0]))
+    assert gp.clf_data_size == n0 + 1
+
+
+def test_from_state_dict_preserves_names_and_bounds(tmp_path):
+    """param_names / tausq_bounds / optimizer_options must survive the
+    classifier-GP state round-trip (the subclass override dropped them while
+    the base GP restored all three)."""
+    x, y = make_clf_data(n=40)
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_use_size=10,
+                          param_names=["alpha", "beta"],
+                          tausq_bounds=(1e-3, 1e2),
+                          optimizer_options={"maxiter_override": 123})
+    state = gp.state_dict()
+    gp2 = GPwithClassifier.from_state_dict(state)
+    assert gp2.param_names == ["alpha", "beta"]
+    assert tuple(gp2.cfg.tausq_bounds) == (1e-3, 1e2)
+    assert gp2.optimizer_options == {"maxiter_override": 123}
+
+
+def test_diverged_classifier_training_keeps_previous(monkeypatch):
+    """If every training restart diverges (NaN loss), the previous working
+    classifier must be kept — clf gating must not silently vanish mid-run."""
+    from bobe_tpu.models import classifiers as clf_mod
+
+    x, y = make_clf_data(n=40)
+    gp = GPwithClassifier(train_x=x, train_y=y, clf_use_size=10,
+                          clf_type="ellipsoid")
+    assert gp.use_clf and gp.clf_params is not None
+    old_params = gp.clf_params
+
+    def nan_bce(apply_logit, p0, X, Y, **kw):
+        return p0, {"train_loss": "nan", "loss": float("nan"), "epochs": 0}
+
+    monkeypatch.setattr(clf_mod, "_train_bce", nan_bce)
+    gp.update(np.array([[0.21, 0.37]]), np.array([-2.0]))
+    gp.train_classifier()
+    assert gp.clf_params is not None
+    assert gp._clf_predict is not None
+    # the kept parameters still gate (same pytree structure as before)
+    assert set(gp.clf_params.keys()) == set(old_params.keys())

@@ -100,3 +100,59 @@ def test_put_guard_installed_and_blocks_serialize():
     out = cc.put_executable_and_time("k", "m", PoisonExecutable(),
                                      FakeBackend(), 9999)
     assert out is None
+
+
+def test_get_guard_uses_stat_probe_without_reading(tmp_path, monkeypatch):
+    """When the cache exposes its directory, the size probe must stat the
+    on-disk entry (<key>-cache) instead of reading the full bytes twice."""
+    from jax._src import compilation_cache as cc
+
+    (tmp_path / "bigkey-cache").write_bytes(b"x" * 16)  # small => allowed
+
+    class StatOnlyCache:
+        path = str(tmp_path)
+
+        def get(self, key):  # pragma: no cover - stat path must win
+            raise AssertionError("read-probe used despite available path")
+
+    sentinel = ("exe", 1.0)
+
+    class FakeBackend:
+        platform = "cpu"
+
+    monkeypatch.setattr(cc, "_get_cache", lambda backend: StatOnlyCache())
+    called = {}
+
+    # small entry: passes the guard, falls through to the original get
+    orig = cc.get_executable_and_time
+
+    # the guard wraps the ORIGINAL function captured at install time; patch
+    # the fall-through by checking the miss path instead: an oversized entry
+    # must be rejected via stat alone
+    (tmp_path / "bigkey-cache").write_bytes(b"x" * (5 * 10**6))
+    out = cc.get_executable_and_time("bigkey", None, FakeBackend(), None)
+    assert out == (None, None)
+    assert not called
+
+
+def test_host_fingerprint_handles_arm_cpuinfo(tmp_path):
+    """aarch64 /proc/cpuinfo has no 'flags'/'model name' lines; the
+    fingerprint must still distinguish different ARM hosts (an empty blob
+    hashed every ARM machine identically, defeating foreign-ISA scoping)."""
+    from bobe_tpu.config import _host_fingerprint_from
+
+    x86 = tmp_path / "x86"
+    x86.write_text("processor\t: 0\nmodel name\t: Xeon\nflags\t\t: sse sse2\n")
+    arm_a = tmp_path / "arm_a"
+    arm_a.write_text("processor\t: 0\nFeatures\t: fp asimd sve\n"
+                     "CPU implementer\t: 0x41\nCPU part\t: 0xd40\n")
+    arm_b = tmp_path / "arm_b"
+    arm_b.write_text("processor\t: 0\nFeatures\t: fp asimd\n"
+                     "CPU implementer\t: 0x41\nCPU part\t: 0xd0c\n")
+    fps = {_host_fingerprint_from(str(p)) for p in (x86, arm_a, arm_b)}
+    assert len(fps) == 3  # all distinct
+    # x86 blob is byte-compatible with the original implementation
+    import hashlib
+    old = hashlib.sha1("model name\t: Xeon|flags\t\t: sse sse2".encode()
+                       ).hexdigest()[:10]
+    assert _host_fingerprint_from(str(x86)) == old

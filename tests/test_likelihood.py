@@ -57,3 +57,21 @@ def test_default_unit_cube_bounds():
     lk = Likelihood(quad, ["a", "b"])
     np.testing.assert_allclose(lk.param_bounds, np.array([[0, 1], [0, 1]]).T)
     assert lk.logprior_vol == pytest.approx(0.0)
+
+
+def test_logprior_vol_no_overflow_high_d():
+    """log prior volume must be sum(log(widths)): 31 dims of 1e10-wide ranges
+    overflow np.prod to inf (and tiny widths underflow to 0 -> -inf),
+    poisoning every evaluation through the +/-inf shift."""
+    d = 31
+    bounds = np.vstack([np.full(d, -5e9), np.full(d, 5e9)])
+    lk = Likelihood(lambda x: 0.0, [f"p{i}" for i in range(d)],
+                    param_bounds=bounds)
+    assert np.isfinite(lk.logprior_vol)
+    assert lk.logprior_vol == pytest.approx(d * np.log(1e10))
+
+    tiny = np.vstack([np.zeros(d), np.full(d, 1e-12)])
+    lk2 = Likelihood(lambda x: 0.0, [f"p{i}" for i in range(d)],
+                     param_bounds=tiny)
+    assert np.isfinite(lk2.logprior_vol)
+    assert lk2.logprior_vol == pytest.approx(d * np.log(1e-12))
