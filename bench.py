@@ -51,8 +51,11 @@ def _make_data():
     return x, y, mc, x0_extra
 
 
-def run_baseline_cpu() -> float:
-    """Reference-pattern cycle on CPU. Returns seconds per cycle."""
+def run_baseline_cpu():
+    """Reference-pattern cycle on CPU.
+
+    Returns (total_seconds_per_cycle, fit_seconds_per_cycle) — the fit time
+    is split out so an idealized k-rank MPI baseline can be derived."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -113,7 +116,14 @@ def run_baseline_cpu() -> float:
 
 
 def run_tpu_cycle() -> float:
-    """TPU-native cycle. Returns seconds per cycle."""
+    """TPU-native cycle. Returns seconds per cycle.
+
+    The fit runs through the PRODUCTION ``gp.fit`` entry point — including
+    the default-on exact-f64 endpoint selection and the host-routed f64
+    state refresh that the dtype policy applies at this capacity — not a
+    bare ``_fit_core`` descent. Measuring a cheaper pipeline than the one
+    production ships would overstate the speedup.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -122,21 +132,18 @@ def run_tpu_cycle() -> float:
     from bobe_tpu.acquisition import _wip_sweep_core
     from bobe_tpu.models import gp as gpm
 
-    from bobe_tpu import config as _config
-
     x, y, mc, x0_extra = _make_data()
     gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
     x0 = jnp.asarray(np.vstack(
         [np.log(np.asarray(gp.get_hyperparams()))[None, :], x0_extra]))
     mc_j = jnp.asarray(mc)
 
-    # production dtype policy: f32 MLL objective on TPU, f64 state + sweep
-    fit = gpm._fit_core(gp.cfg, gp.ndim, MAXITER, "lbfgs",
-                        jnp.dtype(_config.compute_dtype()).name)
     sweep = _wip_sweep_core(gp.cfg, True, "float64")
+    host_xy = gp._host_mirror()
 
     def cycle():
-        state, best_log, best_f = fit(gp.state, x0)
+        state, _info = gpm.fit(gp.state, gp.cfg, x0=x0, maxiter=MAXITER,
+                               host_xy=host_xy)
         acq, V, var = sweep(state, mc_j)
         return float(jnp.min(acq))
 

@@ -659,26 +659,58 @@ def _f64_select(state: GPState, cfg: GPTrainConfig, d: int,
     rescore routes to the host CPU backend (f64 is XLA-emulated on device).
 
     Falls back to the f32 ranking if every f64 score is non-finite.
+
+    Endpoints are deduped by BASIN before rescoring: restarts that converged
+    to (nearly) the same log-hyperparameters are one model, and the f32
+    objective's jitter floor is documented-harmless WITHIN a basin — only
+    the between-basin ranking needs the exact f64 rescore. In the common
+    all-restarts-agree case this cuts the per-fit f64 work from R
+    factorizations to one (each rescore is an O(cap^3) Cholesky).
     """
     if _route_f64_to_host():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             host_state, (cand_np, f32_np) = _host_state_and_aux(
                 state, d, host_xy, (cand_log, cand_f32))
-            scores = np.asarray(
-                _rescore_core(cfg, d)(host_state, jnp.asarray(cand_np)))
+            cand_np, f32_np = np.asarray(cand_np), np.asarray(f32_np)
+            reps = _basin_representatives(cand_np, f32_np)
+            scores_r = np.asarray(
+                _rescore_core(cfg, d)(host_state, jnp.asarray(cand_np[reps])))
     else:
-        cand_np, f32_np, scores = jax.device_get(
-            [cand_log, cand_f32,
-             _rescore_core(cfg, d)(state, jnp.asarray(cand_log))])
-        scores = np.asarray(scores)
-    finite = np.isfinite(scores)
+        cand_np, f32_np = jax.device_get([cand_log, cand_f32])
+        cand_np, f32_np = np.asarray(cand_np), np.asarray(f32_np)
+        reps = _basin_representatives(cand_np, f32_np)
+        scores_r = np.asarray(jax.device_get(
+            _rescore_core(cfg, d)(state, jnp.asarray(cand_np[reps]))))
+    finite = np.isfinite(scores_r)
     if not finite.any():
         i = int(np.nanargmin(np.where(np.isfinite(f32_np), f32_np, np.inf)))
         return np.asarray(cand_np[i]), float(f32_np[i])
-    scores = np.where(finite, scores, np.inf)
-    i = int(np.argmin(scores))
-    return np.asarray(cand_np[i]), float(scores[i])
+    scores_r = np.where(finite, scores_r, np.inf)
+    j = int(np.argmin(scores_r))
+    return np.asarray(cand_np[reps[j]]), float(scores_r[j])
+
+
+def _basin_representatives(cand: np.ndarray, f32_scores: np.ndarray,
+                           atol: float = 0.02) -> list:
+    """Indices of one representative per distinct optimizer basin.
+
+    Two endpoints within ``atol`` in EVERY log-hyperparameter coordinate are
+    the same local optimum (L-BFGS endpoints in one basin agree far tighter
+    than 2%); the representative is the member with the best f32 objective,
+    which is exactly the within-basin ranking the f32 floor preserves.
+    """
+    order = np.argsort(np.where(np.isfinite(f32_scores), f32_scores, np.inf))
+    assigned = np.zeros(len(cand), dtype=bool)
+    reps = []
+    for i in order:
+        i = int(i)
+        if assigned[i]:
+            continue
+        close = np.all(np.abs(cand - cand[i]) <= atol, axis=1)
+        assigned |= close
+        reps.append(i)
+    return reps
 
 
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
@@ -747,6 +779,10 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # host.
         best_log, best_f = _fit_f64_host(state, cfg, d, int(maxiter),
                                          optimizer, x0, host_xy=host_xy)
+        if not np.isfinite(float(best_f)):
+            raise RuntimeError(
+                "GP hyperparameter fit failed: the objective was non-finite "
+                "at every restart (degenerate training data or Gram matrix)")
         if host_xy is not None:
             new_state = _refresh_via_host(state, cfg, d, best_log, host_xy)
         else:
@@ -785,6 +821,13 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
                             fit_dtype="float64")
             new_state, best_log, best_f = pol(state, best_log[None, :])
+    if not np.isfinite(float(best_f)):
+        # every restart's objective was non-finite end to end: match the
+        # scipy parity oracle (minimize_scipy_restarts raises) instead of
+        # silently installing an unoptimized seed as the surrogate
+        raise RuntimeError(
+            "GP hyperparameter fit failed: the objective was non-finite at "
+            "every restart (degenerate training data or Gram matrix)")
     if new_state is None:
         # deferred full refresh for the selected hyperparameters: on TPU the
         # f64 O(cap^3) refresh is emulated (~0.11 s at cap 1024) — route it

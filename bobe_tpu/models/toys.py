@@ -115,7 +115,6 @@ def make_planck_like(d=6, alpha=0.5, gamma=0.4, delta=0.3, c_fail=2.5):
     from scipy.stats import norm
 
     assert d >= 6
-    rng = np.random.default_rng(12345)
     # cosmology-flavoured scales: every parameter a different magnitude
     mu = np.array([0.32, 0.05, 0.68, 0.97, 3.05, 0.81] + [0.5] * (d - 6))[:d]
     sigma = np.array([0.011, 0.008, 0.012, 0.004, 0.015, 0.006]

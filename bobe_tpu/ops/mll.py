@@ -24,7 +24,9 @@ SQRT3 = math.sqrt(3.0)
 # --------------------------------------------------------------- distributions
 
 def lognormal_logprob(x, loc, scale):
-    x = jnp.maximum(x, 1e-300)
+    # dtype-aware underflow clamp: 1e-300 is 0.0 in float32, where x=0 would
+    # produce inf + (-inf) = NaN instead of a clean large-negative logprob
+    x = jnp.maximum(x, jnp.finfo(jnp.result_type(x)).tiny)
     lx = jnp.log(x)
     return -lx - jnp.log(scale) - 0.5 * LOG_2PI - 0.5 * ((lx - loc) / scale) ** 2
 
@@ -46,7 +48,7 @@ def normal_logprob(x, loc, scale):
 def gamma_logprob(x, concentration, rate=1.0):
     from jax.scipy.special import gammaln
 
-    x = jnp.maximum(x, 1e-300)
+    x = jnp.maximum(x, jnp.finfo(jnp.result_type(x)).tiny)  # see lognormal_logprob
     return (
         concentration * jnp.log(rate)
         - gammaln(concentration)

@@ -342,12 +342,11 @@ def create_summary_plots(results_manager, gp=None, save_dir=None):
     plotter = BOBESummaryPlotter(results_manager, save_dir=save_dir)
     paths = plotter.save_all_plots()
     try:
-        p = plot_final_samples(
-            results_manager, gp=gp,
-            filename=os.path.join(plotter.save_dir,
-                                  f"{results_manager.output_file}_samples.png"))
+        fname = os.path.join(plotter.save_dir,
+                             f"{results_manager.output_file}_samples.png")
+        p = plot_final_samples(results_manager, gp=gp, filename=fname)
         if p is not None:
-            paths.append("samples")
+            paths.append(fname)
     except Exception as e:  # pragma: no cover
         log.warning(f"triangle plot failed: {e}")
     return paths
