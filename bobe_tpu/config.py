@@ -251,6 +251,21 @@ def fit_polish_max_cap() -> int:
     return int(os.environ.get("BOBE_TPU_POLISH_MAX_CAP", 768))
 
 
+def device_refresh_max_cap() -> int:
+    """Largest padded GP capacity at which the post-fit f64 state refresh
+    runs ON-DEVICE (emulated f64) instead of host+upload.
+
+    Both routes compute the identical f64 set_hyperparams graph; the choice
+    is pure transfer economics. Measured at cap 1024 on the tunneled TPU
+    (round 3): on-device emulated refresh 0.10 s with ZERO host traffic vs
+    host-native chol 0.06 s + 8.4 MB f64 chol upload 0.14 s. Emulated f64
+    scales O(cap^3) while the upload scales O(cap^2), so the host route wins
+    at large caps (cap 4096: ~4.5 s device vs ~1.9 s host+upload). Override
+    with BOBE_TPU_DEVICE_REFRESH_MAX_CAP (0 forces the host route whenever
+    available)."""
+    return int(os.environ.get("BOBE_TPU_DEVICE_REFRESH_MAX_CAP", 1024))
+
+
 def fit_f64_select() -> bool:
     """Exact-f64 model selection across the f32 fit's restart endpoints.
 

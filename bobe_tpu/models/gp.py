@@ -642,6 +642,51 @@ def _rescore_core(cfg: GPTrainConfig, d: int):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=64)
+def _refresh_with_mll_core(cfg: GPTrainConfig, d: int):
+    """Jitted f64 set_hyperparams + exact MLL read off the refreshed factor.
+
+    One O(cap^3) factorization serves BOTH the state refresh and the exact
+    f64 model score: with L = chol(K) and alpha = K^-1 y already in the
+    refreshed state, the MLL is -0.5 y^T alpha - sum(log diag L)
+    - 0.5 n log 2pi (ops/mll.gp_mll) plus the hyperprior. In f64 the jitter
+    ladder's first rung is 0.0, so the factor is the one gp_mll would
+    compute — the returned value matches neg_mll at the same params
+    (pinned by tests/test_fast_path.py). Returns (new_state, neg_mll)."""
+    def run(state, log_params):
+        new_state = set_hyperparams(state, cfg, log_params)
+        y = _y_standardized(new_state)
+        quad = jnp.dot(y, new_state.alpha)
+        logdet = jnp.sum(jnp.log(jnp.diagonal(new_state.chol)))
+        mll = -0.5 * quad - logdet - 0.5 * new_state.n * mll_ops.LOG_2PI
+        ls = jnp.exp(new_state.log_ls)
+        amp = jnp.exp(new_state.log_amp)
+        tausq = jnp.exp(new_state.log_tausq)
+        mll = mll + _prior_logprob(cfg, d, ls, amp, tausq)
+        if cfg.input_warp:
+            mll = mll + _warp_prior_logprob(cfg, new_state.log_wa,
+                                            new_state.log_wb)
+        return new_state, -mll
+    return jax.jit(run)
+
+
+def _refresh_post_fit(state: GPState, cfg: GPTrainConfig, d: int,
+                      best_log,
+                      host_xy: Optional[Tuple[np.ndarray, np.ndarray]]
+                      ) -> GPState:
+    """Post-fit f64 state refresh over the cheaper route.
+
+    Both routes run the identical set_hyperparams graph; the choice is
+    transfer economics (see config.device_refresh_max_cap): the on-device
+    emulated-f64 refresh costs O(cap^3) but moves zero bytes, the host route
+    factors natively but uploads the cap^2 f64 Cholesky."""
+    cap = state.x.shape[0]
+    if (_route_f64_to_host() and host_xy is not None
+            and cap > config.device_refresh_max_cap()):
+        return _refresh_via_host(state, cfg, d, best_log, host_xy)
+    return _set_hp_jit(state, cfg, jnp.asarray(best_log))
+
+
 def _f64_select(state: GPState, cfg: GPTrainConfig, d: int,
                 cand_log, cand_f32,
                 host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
@@ -783,10 +828,7 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             raise RuntimeError(
                 "GP hyperparameter fit failed: the objective was non-finite "
                 "at every restart (degenerate training data or Gram matrix)")
-        if host_xy is not None:
-            new_state = _refresh_via_host(state, cfg, d, best_log, host_xy)
-        else:
-            new_state = _set_hp_jit(state, cfg, jnp.asarray(best_log))
+        new_state = _refresh_post_fit(state, cfg, d, best_log, host_xy)
         return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
     if fit_dtype == "float32" and config.fit_f64_select():
         # exact-f64 model SELECTION across the f32 restart endpoints: the
@@ -796,10 +838,46 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         run = _fit_core(cfg, d, int(maxiter), optimizer,
                         fit_dtype="float32", return_all=True)
         all_log, all_f = run(state, x0)
-        best_np, best_f = _f64_select(state, cfg, d, all_log, all_f,
-                                      host_xy=host_xy)
-        best_log = jnp.asarray(best_np)
-        new_state = None  # refresh deferred to the common tail below
+        cand_np, f32_np = [np.asarray(a) for a in
+                           jax.device_get([all_log, all_f])]
+        reps = _basin_representatives(cand_np, f32_np)
+        cap = state.x.shape[0]
+        device_refresh = not (_route_f64_to_host() and host_xy is not None
+                              and cap > config.device_refresh_max_cap())
+        new_state = None  # default: refresh deferred to the common tail
+        if device_refresh and np.isfinite(f32_np[reps[0]]):
+            # SPECULATIVE refresh at the f32-preferred basin representative
+            # (reps[0] = the f32-argmin's basin): jax dispatch is async, so
+            # the O(cap^3) emulated-f64 device refresh runs WHILE the host
+            # rescores the other basins below. Its factorization doubles as
+            # the exact f64 MLL read-out, so the single-basin case needs no
+            # rescore at all; a miss (a genuine f32/f64 between-basin
+            # inversion, the rare case _f64_select exists for) just pays one
+            # extra refresh.
+            spec_log = jnp.asarray(np.asarray(cand_np[reps[0]],
+                                              dtype=np.float64))
+            spec_state, spec_nll = _refresh_with_mll_core(cfg, d)(state,
+                                                                  spec_log)
+            if len(reps) == 1:
+                best_f = float(spec_nll)
+                if np.isfinite(best_f):
+                    best_log, new_state = spec_log, spec_state
+                else:
+                    # conditioned edge: fall back to the full rescore
+                    best_np, best_f = _f64_select(state, cfg, d, cand_np,
+                                                  f32_np, host_xy=host_xy)
+                    best_log = jnp.asarray(best_np)
+            else:
+                best_np, best_f = _f64_select(state, cfg, d, cand_np, f32_np,
+                                              host_xy=host_xy)
+                best_log = jnp.asarray(best_np)
+                if (np.isfinite(best_f)
+                        and np.array_equal(best_np, cand_np[reps[0]])):
+                    new_state = spec_state  # speculation hit
+        else:
+            best_np, best_f = _f64_select(state, cfg, d, cand_np, f32_np,
+                                          host_xy=host_xy)
+            best_log = jnp.asarray(best_np)
     else:
         run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
         new_state, best_log, best_f = run(state, x0)
@@ -829,14 +907,10 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             "GP hyperparameter fit failed: the objective was non-finite at "
             "every restart (degenerate training data or Gram matrix)")
     if new_state is None:
-        # deferred full refresh for the selected hyperparameters: on TPU the
-        # f64 O(cap^3) refresh is emulated (~0.11 s at cap 1024) — route it
-        # to the host when the (x, y) mirror is available (same gate as the
-        # host f64 fits), else run it on-device.
-        if _route_f64_to_host() and host_xy is not None:
-            new_state = _refresh_via_host(state, cfg, d, best_log, host_xy)
-        else:
-            new_state = _set_hp_jit(state, cfg, jnp.asarray(best_log))
+        # deferred full refresh for the selected hyperparameters, over the
+        # cheaper route (on-device emulated f64 vs host chol + upload — see
+        # _refresh_post_fit / config.device_refresh_max_cap)
+        new_state = _refresh_post_fit(state, cfg, d, best_log, host_xy)
     return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
 
 
