@@ -418,7 +418,8 @@ def get_mc_samples(gp, warmup_steps=None, num_samples=1024, thinning=None,
         from .samplers import nested_sampling
 
         samples, _, _ = nested_sampling(gp, mode="acq", dlogz=0.02,
-                                        equal_weights=True, rng=np_rng)
+                                        equal_weights=True, rng=np_rng,
+                                        rng_key=rng_key)
         return samples
     elif method == "uniform":
         from scipy.stats import qmc

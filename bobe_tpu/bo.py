@@ -205,7 +205,6 @@ class BOBE:
         self.best_pt_iteration = 0
         self.prev_converged = False
         self.prev_convergence_delta = None
-        self.prev_convergence_threshold = None
 
     def _handle_resume(self, resume_file, use_clf):
         gp_file = resume_file + "_gp"
@@ -224,7 +223,6 @@ class BOBE:
                     last = self.results_manager.convergence_history[-1]
                     self.prev_converged = True
                     self.prev_convergence_delta = last.delta
-                    self.prev_convergence_threshold = last.threshold
                     log.info(f"Previous run converged with delta={last.delta:.6f}")
             self.fresh_start = False
         except Exception as e:
@@ -433,8 +431,6 @@ class BOBE:
             self.results_manager.update_kl_divergences(step, kl)
         self.prev_samples = {"x": equal_samples, "logl": np.asarray(equal_logl)}
 
-        self.results_manager.update_convergence(step, logz_dict, converged,
-                                                self.logz_threshold)
         log.info(f"Convergence check: delta = {delta:.4f}, step = {step}, "
                  f"threshold = {self.logz_threshold}")
         if converged:
@@ -447,6 +443,12 @@ class BOBE:
                 converged = False
         else:
             self.convergence_counter = 0
+        # record the POST-counter decision: the pre-counter raw flag was
+        # persisted by save_intermediate and made a crash-resumed run
+        # short-circuit as "already converged" after only 1 of
+        # convergence_n_iters successive checks
+        self.results_manager.update_convergence(step, logz_dict, converged,
+                                                self.logz_threshold)
 
         if (delta < self.min_delta_seen and delta_crosscheck < 1.0
                 and save_checkpoint and self.save):
@@ -454,7 +456,15 @@ class BOBE:
             ckpt = f"{self.output_file}_checkpoint"
             if not converged:
                 self.results_manager.save_intermediate(gp=self.gp, filename=ckpt)
-                self.results_manager.save_chain_files(self.ns_samples, filename=ckpt)
+                # chains are written in PHYSICAL coordinates (the NS dict is
+                # unit-cube): the .ranges file is physical, and resume loads
+                # this file back as the final posterior
+                ckpt_samples = dict(self.ns_samples)
+                ckpt_samples["x"] = scale_from_unit(
+                    np.asarray(self.ns_samples["x"]),
+                    self.loglikelihood.param_bounds)
+                self.results_manager.save_chain_files(ckpt_samples,
+                                                      filename=ckpt)
                 if verbose:
                     log.info(f"New minimum delta {delta:.4f}; checkpoint saved")
         return converged
@@ -879,8 +889,8 @@ class BOBE:
                 eq_x, eq_l = resample_equal(
                     self.ns_samples["x"], self.ns_samples["logl"],
                     weights=self.ns_samples["weights"], rng=self.np_rng)
-                self.check_convergence_logz(ii + 1, logz_dict, eq_x, eq_l,
-                                            save_checkpoint=False)
+                self.converged = self.check_convergence_logz(
+                    ii + 1, logz_dict, eq_x, eq_l, save_checkpoint=False)
                 self.results_dict["logz"] = logz_dict
                 if self.converged:
                     self.termination_reason = "LogZ converged"

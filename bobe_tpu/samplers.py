@@ -416,6 +416,16 @@ def _warm_state_matches(warm_state, kind, num_chains, ndim, dense_mass, temp,
             and warm_state.get("temp") == float(temp))
 
 
+@lru_cache(maxsize=32)
+def _batched_apply(apply):
+    """Cached jit of the vmapped logprob apply. The applies are themselves
+    lru-cached (_nuts_logprob_apply), so the function object is a stable
+    cache key; without this the plateau check rebuilt and executed an
+    UN-jitted vmap of the full gated GP graph every warm refresh — op-by-op
+    dispatch, latency-priced per op on tunneled TPUs."""
+    return jax.jit(jax.vmap(apply, in_axes=(None, 0)))
+
+
 def _plateau_frac_ok(apply, ctx, warm_state, gp, temp) -> float:
     """Fraction of cached chain ends still feasible. The classifier retrains
     between iterations and can strand ends on the minus_inf plateau, where
@@ -423,8 +433,8 @@ def _plateau_frac_ok(apply, ctx, warm_state, gp, temp) -> float:
     apply() returns the TEMPERED logp — the plateau sits at ~minus_inf/temp,
     so the threshold is tempered too (an untempered 0.5*minus_inf would wave
     infeasible starts through for any temp > 2)."""
-    start_lp = np.asarray(jax.vmap(lambda z: apply(ctx, z))(
-        jnp.asarray(warm_state["last_z"])))
+    start_lp = np.asarray(_batched_apply(apply)(
+        ctx, jnp.asarray(warm_state["last_z"])))
     return float(np.mean(start_lp > 0.5 * float(gp.minus_inf) / float(temp)))
 
 
