@@ -41,6 +41,7 @@ from ..ops import kernels as kr
 from ..ops import mll as mll_ops
 from ..ops import optimize as opt_ops
 from ..ops.fantasy import fantasy_var_single, posterior_batch
+from ..utils.core import atomic_write
 from ..utils.log import get_logger
 from ..utils.seed import get_numpy_rng
 
@@ -890,6 +891,7 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # (measured +0.18 logZ bias on the planck-like toy, BENCH_NOTES).
         # Reuses _fit_core with a single-row x0 so the polish can never
         # drift from the main fit pipeline.
+        pre_polish = (new_state, best_log, best_f)
         if _route_f64_to_host():
             best_log, best_f = _fit_f64_host(
                 state, cfg, d, int(config.fit_polish_iters()), optimizer,
@@ -899,6 +901,14 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
             pol = _fit_core(cfg, d, int(config.fit_polish_iters()), optimizer,
                             fit_dtype="float64")
             new_state, best_log, best_f = pol(state, best_log[None, :])
+        if not np.isfinite(float(best_f)) and np.isfinite(float(pre_polish[2])):
+            # the polish objective is the UNFLOORED f64 neg-MLL and can be
+            # non-finite (near-singular Gram at noise=1e-8) where the
+            # floored f32 objective was fine — keep the finite f32-selected
+            # optimum instead of discarding a usable fit
+            log.warning("f64 polish diverged (non-finite objective); "
+                        "keeping the pre-polish optimum")
+            new_state, best_log, best_f = pre_polish
     if not np.isfinite(float(best_f)):
         # every restart's objective was non-finite end to end: match the
         # scipy parity oracle (minimize_scipy_restarts raises) instead of
@@ -953,7 +963,13 @@ class GP:
         self.optimizer_method = optimizer
         self.optimizer_options = dict(optimizer_options or {})
 
-        kernel = "rbf" if kernel == "rbf" else "matern"
+        # explicit validation: a typo'd kernel name must not silently become
+        # a different covariance family
+        aliases = {"rbf": "rbf", "matern": "matern", "matern52": "matern"}
+        if kernel not in aliases:
+            raise ValueError(f"Unknown kernel '{kernel}'; expected one of "
+                             f"{sorted(aliases)}")
+        kernel = aliases[kernel]
         fixed_kv = kernel_variance_prior == "fixed"
         self.cfg = GPTrainConfig(
             kernel=kernel,
@@ -1216,6 +1232,21 @@ class GP:
         x0 = None if x0 is None else jnp.atleast_2d(jnp.asarray(x0))
         if x0 is not None:
             n_restarts = x0.shape[0]
+        # honor constructor optimizer_options (reference gp.py:421-430
+        # forwards these into the optimizer): supported keys override the
+        # call defaults; anything else is warned about ONCE instead of
+        # being silently dropped
+        opts = self.optimizer_options
+        if opts:
+            maxiter = int(opts.get("maxiter", maxiter))
+            if x0 is None:  # an explicit x0's row count always wins
+                n_restarts = int(opts.get("n_restarts", n_restarts))
+            unknown = set(opts) - {"maxiter", "n_restarts"}
+            if unknown and not getattr(self, "_warned_opt_opts", False):
+                self._warned_opt_opts = True
+                log.warning(f"optimizer_options {sorted(unknown)} are not "
+                            "supported by the TPU fit pipeline and are "
+                            "ignored (supported: maxiter, n_restarts)")
         self.state, info = fit(self.state, self.cfg, x0=x0, maxiter=maxiter,
                                n_restarts=n_restarts, rng=rng,
                                optimizer=self.optimizer_method,
@@ -1361,13 +1392,13 @@ class GP:
         # atomic replace: this is the crash-recovery checkpoint — a process
         # killed mid-write (timeouts, preemption) must never corrupt the
         # previous good checkpoint
-        tmp = filename + ".tmp"
-        with open(tmp, "wb") as f:
-            np.savez(f, **{k: np.asarray(v, dtype=object) if isinstance(v, (dict, type(None))) else v
-                           for k, v in sd.items()})
-            f.flush()
-            os.fsync(f.fileno())  # rename must not outlive the data on crash
-        os.replace(tmp, filename)
+        atomic_write(
+            filename,
+            lambda f: np.savez(f, **{
+                k: np.asarray(v, dtype=object)
+                if isinstance(v, (dict, type(None))) else v
+                for k, v in sd.items()}),
+            binary=True)
         log.info(f"Saved GP state to {filename}")
 
     @classmethod

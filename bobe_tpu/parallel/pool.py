@@ -459,8 +459,18 @@ class DistributedPool(EvalPool):
         pts = np.full((n_points, d), np.nan)
         lps = np.full(n_points, np.nan)
         for i in idxs:
-            pt, lp = likelihood._get_single_valid_point(rng)
-            pts[i], lps[i] = pt, lp
+            # per-point exceptions become NaN rows so the allgathers below
+            # are ALWAYS posted — a raise here would desynchronize the
+            # collective protocol and hang every other rank (same
+            # discipline as _eval_shard); rank 0 fail-fasts after the
+            # combine in get_cobaya_initial_points, workers just return to
+            # worker_loop and are released by the EXIT broadcast
+            try:
+                pt, lp = likelihood._get_single_valid_point(rng)
+                pts[i], lps[i] = pt, lp
+            except Exception as e:
+                log.error(f"cobaya initial-point draw raised on rank "
+                          f"{self.rank} (point {i}): {e!r}")
         allp = self._allgather_rows(pts)
         alll = self._allgather_rows(lps)
         sel = np.argmax(~np.isnan(alll), axis=0)
@@ -470,7 +480,13 @@ class DistributedPool(EvalPool):
         if self.size == 1:
             return SerialPool().get_cobaya_initial_points(likelihood, n_points, rng)
         self._bcast(np.asarray([self.TASK_COBAYA, n_points, 0], dtype=np.float64))
-        return self._cobaya_shard(likelihood, n_points)
+        out = self._cobaya_shard(likelihood, n_points)
+        bad = [i for i, (_, lp) in enumerate(out) if np.isnan(lp)]
+        if bad:
+            raise RuntimeError(
+                f"Cobaya initial-point generation failed on every rank for "
+                f"point(s) {bad} (see rank logs for the underlying errors)")
+        return out
 
     def close(self):
         # idempotent: run() closes in a finally block AND on its normal exit

@@ -100,6 +100,19 @@ def get_threshold_for_nsigma(nsigma, d):
     return 0.5 * nstd**2
 
 
+def atomic_write(path: str, writer, binary: bool = False):
+    """Write a file via tmp + fsync + os.replace so a crash mid-write can
+    never corrupt the previous good copy. ``writer(f)`` receives the open
+    tmp-file handle. Shared by every crash-recovery artifact (intermediate
+    JSON, chain files, GP npz) — these are exactly the files resume reads."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb" if binary else "w") as f:
+        writer(f)
+        f.flush()
+        os.fsync(f.fileno())  # the rename must not outlive the data on crash
+    os.replace(tmp, path)
+
+
 def split_vmap(func, input_arrays, batch_size=64):
     """Apply a vmapped func over inputs in chunks to bound peak memory."""
     from jax import vmap

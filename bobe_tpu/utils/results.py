@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from .core import atomic_write
 from .log import get_logger
 
 log = get_logger("results")
@@ -255,28 +256,35 @@ class BOBEResults:
         }
 
     def _restore_state(self, d: Dict[str, Any]):
+        # parse EVERYTHING before assigning ANYTHING: a malformed dict must
+        # raise out of the parse block leaving the object untouched, not
+        # half-restored (the caller falls back to a fresh start on raise)
         acq = d.get("acquisition", {})
+        bl = d.get("best_loglike", {})
+        conv = [ConvergenceInfo(**c) for c in d.get("convergence_history", [])]
+        phase = {p: float(t) for p, t in d.get("phase_times", {}).items()}
+        elapsed = float(d.get("elapsed_walltime", 0.0))
+        final_logz = dict(d.get("final_logz", {}))
+        gp_info = dict(d.get("gp_info", {}) or {})
+
         self.acquisition_iterations = list(acq.get("iterations", []))
         self.acquisition_values = list(acq.get("values", []))
         self.acquisition_names = list(acq.get("names", []))
         self.gp_hyperparams_history = list(d.get("gp_hyperparams_history", []))
-        bl = d.get("best_loglike", {})
         self.best_loglike_iterations = list(bl.get("iterations", []))
         self.best_loglike_values = list(bl.get("values", []))
-        self.convergence_history = [ConvergenceInfo(**c)
-                                    for c in d.get("convergence_history", [])]
+        self.convergence_history = conv
         self.kl_history = list(d.get("kl_history", []))
         self.logz_evolution = list(d.get("logz_evolution", []))
         self.converged = bool(d.get("converged", False))
         self.termination_reason = d.get("termination_reason")
-        self.final_logz = dict(d.get("final_logz", {}))
-        self.gp_info = dict(d.get("gp_info", {}) or {})
-        for p, t in d.get("phase_times", {}).items():
-            self._phase_times[p] = float(t)
+        self.final_logz = final_logz
+        self.gp_info = gp_info
+        self._phase_times.update(phase)
         # shift _t0 so total_runtime spans ALL process generations — the
         # restored phase_times are cumulative, and mixing them with a fresh
         # process wall made percentages exceed 100% and 'untracked' negative
-        self._t0 = time.time() - float(d.get("elapsed_walltime", 0.0))
+        self._t0 = time.time() - elapsed
 
     def _load_existing_results(self):
         fn = f"{self.base}_intermediate.json"
@@ -287,19 +295,29 @@ class BOBEResults:
             with open(fn) as f:
                 d = json.load(f)
             self._restore_state(d)
-            # restore samples from chain files if present
-            chain = f"{self.base}_checkpoint.txt"
+        except Exception as e:
+            log.warning(f"Failed to resume from {fn}: {e}; starting fresh")
+            return
+        # restore samples from chain files if present — in its OWN guard: a
+        # corrupt chain snapshot must not discard the successfully restored
+        # state above (and must not leave a half-restored object, which is
+        # why it runs after, not inside, the state try-block)
+        chain = f"{self.base}_checkpoint.txt"
+        try:
             if os.path.exists(chain):
-                data = np.loadtxt(chain)
-                if data.ndim == 2 and data.shape[1] >= 3:
+                # ndmin=2: a single-sample chain loads as 1-D otherwise and
+                # would silently skip the restore
+                data = np.loadtxt(chain, ndmin=2)
+                if data.shape[1] >= 3:
                     self.final_weights = data[:, 0]
                     self.final_loglikes = -data[:, 1]
                     self.final_samples = data[:, 2:]
-            self._resumed = True
-            log.info(f"Resumed results state from {fn} "
-                     f"(last iteration {self.get_last_iteration()})")
         except Exception as e:
-            log.warning(f"Failed to resume from {fn}: {e}; starting fresh")
+            log.warning(f"Checkpoint chain {chain} unreadable ({e}); "
+                        "resuming without the posterior snapshot")
+        self._resumed = True
+        log.info(f"Resumed results state from {fn} "
+                 f"(last iteration {self.get_last_iteration()})")
 
     # ------------------------------------------------------------- writers
 
@@ -308,12 +326,8 @@ class BOBEResults:
         name = filename or f"{self.output_file}_intermediate"
         path = self._path(name if name.endswith(".json") else f"{name}.json")
         # atomic replace: crash-recovery state must survive a kill mid-write
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._state_json(), f, indent=2, cls=_JSONEncoder)
-            f.flush()
-            os.fsync(f.fileno())  # rename must not outlive the data on crash
-        os.replace(tmp, path)
+        atomic_write(path, lambda f: json.dump(self._state_json(), f,
+                                               indent=2, cls=_JSONEncoder))
         if gp is not None:
             gp.save(self._path(f"{filename or self.output_file}_gp"))
         log.debug(f"Saved intermediate results to {path}")
@@ -330,15 +344,23 @@ class BOBEResults:
         w = np.asarray(samples_dict.get("weights", np.ones(n))).reshape(-1)
         logl = np.asarray(samples_dict.get("logl", np.zeros(n))).reshape(-1)
         data = np.column_stack([w, -logl, x])
-        np.savetxt(f"{base}.txt", data)
-        with open(f"{base}.paramnames", "w") as f:
+        # atomic: the _checkpoint.txt chain is the crash-recovery posterior
+        # snapshot resume reads back — a kill mid-savetxt must not leave a
+        # truncated file shadowing the previous good one
+        atomic_write(f"{base}.txt", lambda f: np.savetxt(f, data))
+
+        def _names(f):
             for name, label in zip(self.param_names, self.param_labels):
                 f.write(f"{name}\t{label}\n")
+
+        atomic_write(f"{base}.paramnames", _names)
         if self.param_bounds is not None:
-            with open(f"{base}.ranges", "w") as f:
+            def _ranges(f):
                 for i, name in enumerate(self.param_names):
                     f.write(f"{name}\t{self.param_bounds[0, i]:.8g}\t"
                             f"{self.param_bounds[1, i]:.8g}\n")
+
+            atomic_write(f"{base}.ranges", _ranges)
         log.debug(f"Saved chain files to {base}.txt/.paramnames/.ranges")
 
     def save_summary_stats(self):

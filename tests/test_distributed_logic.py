@@ -114,3 +114,40 @@ def test_remote_worker_failure_fails_fast_on_rank0():
     pool = make_pool_stub(rank=0, size=3, transcripts=truth)
     with pytest.raises(RuntimeError, match="failed on a worker rank"):
         pool.run_map_objective(lk, pts)
+
+
+def test_cobaya_shard_exception_becomes_nan_not_raise():
+    """_cobaya_shard must always post its allgathers — a raise inside the
+    per-point draw loop would desynchronize the collective protocol and
+    hang every other rank (same discipline as _eval_shard)."""
+    class BoomLike:
+        ndim = 2
+
+        def _get_single_valid_point(self, rng):
+            raise RuntimeError("theory code exploded")
+
+    pool = DistributedPool.__new__(DistributedPool)
+    pool.rank, pool.size = 0, 2
+    posted = []
+    pool._allgather_rows = lambda local: (posted.append(np.asarray(local)),
+                                          np.stack([np.asarray(local)] * 2))[1]
+    out = pool._cobaya_shard(BoomLike(), 4)
+    assert len(posted) == 2          # both collectives were still posted
+    assert all(np.isnan(lp) for _, lp in out)
+
+
+def test_get_cobaya_initial_points_fails_fast_on_all_nan(monkeypatch):
+    """Rank 0's public API raises on an all-failed point (a consistent,
+    post-collective failure) instead of returning NaN points."""
+    class BoomLike:
+        ndim = 2
+
+        def _get_single_valid_point(self, rng):
+            raise RuntimeError("theory code exploded")
+
+    pool = DistributedPool.__new__(DistributedPool)
+    pool.rank, pool.size = 0, 2
+    pool._bcast = lambda arr: np.asarray(arr)
+    pool._allgather_rows = lambda local: np.stack([np.asarray(local)] * 2)
+    with pytest.raises(RuntimeError, match="initial-point generation failed"):
+        pool.get_cobaya_initial_points(BoomLike(), 3)

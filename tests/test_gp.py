@@ -452,3 +452,39 @@ def test_param_names_survive_state_roundtrip(tmp_path):
     gp.save(path)
     assert GP.load(path).param_names == ["omega_m", "h0"]
     assert "omega_m" in gp.hyperparams_dict()["lengthscales"]
+
+
+def test_unknown_kernel_name_raises():
+    """A typo'd kernel must not silently become a different covariance
+    family (the old coercion mapped anything != 'rbf' to matern)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(8, 2))
+    y = -np.sum((x - 0.5) ** 2, axis=1)
+    with pytest.raises(ValueError, match="Unknown kernel"):
+        GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), kernel="rbf ")
+    # matern52 is an accepted alias of matern
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), kernel="matern52")
+    assert gp.cfg.kernel == "matern"
+
+
+def test_optimizer_options_are_honored(monkeypatch):
+    """Constructor optimizer_options must reach the fit (reference
+    gp.py:421-430 forwards them); they were stored + persisted but ignored."""
+    from bobe_tpu.models import gp as gpm
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(12, 2))
+    y = -np.sum((x - 0.5) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y),
+            optimizer_options={"maxiter": 7, "n_restarts": 2})
+    seen = {}
+    orig = gpm.fit
+
+    def spy(state, cfg, **kw):
+        seen.update(kw)
+        return orig(state, cfg, **kw)
+
+    monkeypatch.setattr(gpm, "fit", spy)
+    gp.fit(maxiter=500, n_restarts=4)
+    assert seen["maxiter"] == 7
+    assert seen["n_restarts"] == 2
