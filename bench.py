@@ -207,9 +207,13 @@ def main():
 
     ours = run_tpu_cycle()
 
-    # The CPU baseline is measured on THIS machine; a cached measurement from
-    # a different host is meaningless as a denominator, so the cache carries
-    # the host fingerprint and is re-measured on mismatch.
+    # The CPU baseline is ALWAYS re-measured, in a subprocess on this
+    # machine's CPU: a cached denominator goes stale even under a matching
+    # host fingerprint (measured in round 3: a physical-node swap behind a
+    # byte-identical /proc/cpuinfo slowed the same host_fp's CPU by 34%,
+    # 10.68 s -> 14.30 s per baseline cycle, silently inflating the cached
+    # ratio). BASELINE_CYCLE.json is kept as a *record* of the last
+    # measurement, and BOBE_BENCH_BASELINE_S still overrides for tests.
     from bobe_tpu.config import _host_fingerprint
 
     host_fp = _host_fingerprint()
@@ -219,14 +223,6 @@ def main():
     cached = os.environ.get("BOBE_BENCH_BASELINE_S")
     if cached:
         baseline = float(cached)
-    elif os.path.exists(cache_file):
-        try:
-            blob = json.load(open(cache_file))
-            # legacy files have no host_fp: treat as foreign, re-measure
-            if blob.get("host_fp") == host_fp:
-                baseline = float(blob["baseline_cycle_s"])
-        except Exception:
-            baseline = None
     if baseline is None:
         try:
             env = dict(os.environ)
@@ -245,10 +241,12 @@ def main():
             if baseline is not None:
                 with open(cache_file, "w") as f:
                     json.dump({**blob, "host_fp": host_fp,
-                               "note": "reference-pattern cycle measured on "
-                                       "this machine's CPU (see docstring); "
-                                       "host_fp keys the measurement to the "
-                                       "machine it was taken on"}, f)
+                               "note": "RECORD of the most recent reference-"
+                                       "pattern cycle measured on this "
+                                       "machine's CPU (see docstring); the "
+                                       "benchmark re-measures every run — "
+                                       "cached denominators go stale under "
+                                       "physical-node drift"}, f)
         except Exception:
             baseline = None
 
@@ -262,7 +260,7 @@ def main():
         # per-host (re-measured above), so a ratio recorded on a different
         # host would be wrong here
         metric += (" [CPU fallback: accelerator tunnel down; last real-TPU "
-                   "measurement 0.3207 s/cycle on a v5e via relay, "
+                   "measurement 0.3904 s/cycle on a v5e via relay, "
                    "BENCH_NOTES round 3]")
     print(json.dumps({
         "metric": metric,

@@ -40,12 +40,18 @@ def _host_fingerprint() -> str:
     # "CPU implementer"/"CPU part" — matching only the x86 keys hashed the
     # same empty blob on every ARM host, defeating the foreign-ISA scoping.
     # First occurrence per key, file order, early exit once both x86 keys
-    # are present: byte-identical to the original blob on x86, so existing
-    # per-host cache directories stay reachable.
-    return _host_fingerprint_from("/proc/cpuinfo")
+    # are present. The GDS (Downfall) mitigation state is folded in as well:
+    # XLA's CPU tuning keys on it (+prefer-no-gather/+prefer-no-scatter in
+    # the AOT target features), and a VM can migrate between physical nodes
+    # whose cpuinfo is byte-identical but whose mitigation state differs —
+    # observed in this repo as cpu_aot_loader feature-mismatch errors on
+    # entries written under the same fingerprint (BENCH_NOTES round 3).
+    return _host_fingerprint_from(
+        "/proc/cpuinfo",
+        "/sys/devices/system/cpu/vulnerabilities/gather_data_sampling")
 
 
-def _host_fingerprint_from(cpuinfo_path: str) -> str:
+def _host_fingerprint_from(cpuinfo_path: str, vuln_path: str = None) -> str:
     """See _host_fingerprint; split out so tests can feed cpuinfo dialects."""
     import hashlib
 
@@ -68,6 +74,12 @@ def _host_fingerprint_from(cpuinfo_path: str) -> str:
         import platform
 
         blob = platform.machine() + platform.processor()
+    if vuln_path:
+        try:
+            with open(vuln_path) as f:
+                blob += "|gds:" + f.read().strip()
+        except Exception:  # file absent (old kernels, ARM): cpuinfo-only
+            pass
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 

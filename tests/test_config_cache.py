@@ -156,3 +156,26 @@ def test_host_fingerprint_handles_arm_cpuinfo(tmp_path):
     old = hashlib.sha1("model name\t: Xeon|flags\t\t: sse sse2".encode()
                        ).hexdigest()[:10]
     assert _host_fingerprint_from(str(x86)) == old
+
+
+def test_host_fingerprint_keys_on_gds_mitigation_state(tmp_path):
+    """XLA's CPU tuning (+prefer-no-gather/+prefer-no-scatter in the AOT
+    target features) keys on the Downfall mitigation state, which can differ
+    between physical nodes with byte-identical /proc/cpuinfo (observed in
+    round 3 as cpu_aot_loader feature-mismatch errors under one fingerprint).
+    Different mitigation states must produce different fingerprints; a
+    missing vulnerabilities file (old kernels, ARM) must not break anything."""
+    from bobe_tpu.config import _host_fingerprint_from
+
+    cpu = tmp_path / "cpuinfo"
+    cpu.write_text("processor\t: 0\nmodel name\t: Xeon\nflags\t\t: sse sse2\n")
+    v_ok = tmp_path / "gds_ok"
+    v_ok.write_text("Not affected\n")
+    v_mit = tmp_path / "gds_mit"
+    v_mit.write_text("Mitigation: Microcode\n")
+    fp_plain = _host_fingerprint_from(str(cpu))
+    fp_ok = _host_fingerprint_from(str(cpu), str(v_ok))
+    fp_mit = _host_fingerprint_from(str(cpu), str(v_mit))
+    assert len({fp_plain, fp_ok, fp_mit}) == 3
+    # unreadable vulnerability file degrades to the cpuinfo-only fingerprint
+    assert _host_fingerprint_from(str(cpu), str(tmp_path / "nope")) == fp_plain
