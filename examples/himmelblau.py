@@ -38,7 +38,7 @@ def main():
         return
     logz = results.get("logz", {})
     print(f"logZ = {logz.get('mean', float('nan')):.4f} "
-          f"(expected ~ -3.2); wall {time.time() - start:.1f}s")
+          f"(brute-force truth -5.504); wall {time.time() - start:.1f}s")
 
 
 if __name__ == "__main__":
