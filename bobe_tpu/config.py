@@ -278,6 +278,22 @@ def device_refresh_max_cap() -> int:
     return int(os.environ.get("BOBE_TPU_DEVICE_REFRESH_MAX_CAP", 1024))
 
 
+def host_fit_method() -> str:
+    """Optimizer for host-routed f64 hyperparameter fits: 'scipy' (default)
+    or 'lockstep'.
+
+    'scipy' = serial scipy L-BFGS-B per restart with its adaptive zoom line
+    search — the reference's own optimizer pattern (optim.py:249). 'lockstep'
+    = the vmapped fixed-trip-line-search device loop run on the CPU backend.
+    Measured on a 1-core host at cap 512, d=8 (BENCH_NOTES round 3 cap-
+    scaling sweep): lockstep 10.2 s/fit vs scipy ~0.8 s — the lockstep design
+    buys MXU batching that a host CPU cannot exploit, while paying fixed-trip
+    line-search evals and run-until-last-lane-retires scheduling that scipy's
+    adaptive search avoids. On a many-core host the batched path can win
+    back; hence the knob. Override with BOBE_TPU_HOST_FIT_METHOD=lockstep."""
+    return os.environ.get("BOBE_TPU_HOST_FIT_METHOD", "scipy")
+
+
 def fit_f64_select() -> bool:
     """Exact-f64 model selection across the f32 fit's restart endpoints.
 

@@ -609,19 +609,62 @@ def _refresh_via_host(state: GPState, cfg: GPTrainConfig, d: int,
     return state
 
 
+@lru_cache(maxsize=64)
+def _host_vg_core(cfg: GPTrainConfig, d: int, use_dsq: bool):
+    """Cached jitted value_and_grad of the f64 neg-MLL for the host scipy
+    fit path — the SAME neg_mll objective _fit_core descends (incl. the
+    precomputed per-dimension distance fast path), jitted once per
+    (config, dsq-mode) so per-fit calls never retrace."""
+    def f(state, dsq, lp):
+        return neg_mll(state, cfg, lp, dsq_perdim=dsq if use_dsq else None)
+
+    return jax.jit(jax.value_and_grad(f, argnums=2))
+
+
 def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
                   optimizer: str, x0,
                   host_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None
                   ) -> Tuple[np.ndarray, float]:
     """Run the f64 neg-MLL restarts on the host CPU backend.
 
-    Reuses _fit_core so the objective cannot drift from the device pipeline
-    (the host run's returned state is discarded; only the hyperparameters
-    travel back). See _host_state_and_aux for the transfer discipline.
+    Two optimizers behind config.host_fit_method():
+
+    * 'scipy' (default): serial scipy L-BFGS-B per restart — the reference's
+      own optimizer pattern (/root/reference/BOBE/optim.py:249). Its adaptive
+      zoom line search converges in far fewer objective evaluations than the
+      lockstep loop's fixed-trip backtracking, and a host CPU gains nothing
+      from the lockstep design's batched-lane tradeoff (measured ~10x at
+      cap 512 on a 1-core host — BENCH_NOTES round 3 cap-scaling sweep).
+      The objective is the identical jitted f64 neg_mll (cached via
+      _host_vg_core), so model selection cannot drift from the device
+      pipeline; only the descent strategy differs.
+    * 'lockstep': the vmapped _fit_core loop on the CPU backend — profitable
+      when the host has enough cores to thread the batched Cholesky.
+
+    The host run's state is discarded; only the winning hyperparameters
+    travel back. See _host_state_and_aux for the transfer discipline.
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         host_state, (x0_np,) = _host_state_and_aux(state, d, host_xy, (x0,))
+        if config.host_fit_method() == "scipy" and optimizer == "lbfgs":
+            cap = host_state.x.shape[0]
+            use_dsq = (d * cap * cap * 8 <= 256 * 1024**2
+                       and not cfg.input_warp)
+            vg_core = _host_vg_core(cfg, d, use_dsq)
+            dsq = (kr.sq_dist_perdim(host_state.x) if use_dsq
+                   else jnp.zeros((0,), jnp.float64))
+            try:
+                best, best_f = opt_ops.minimize_scipy_restarts(
+                    None, np.asarray(x0_np),
+                    bounds=hyperparam_bounds_log(cfg, d), maxiter=maxiter,
+                    vg=lambda lp: vg_core(host_state, dsq, lp))
+            except RuntimeError:
+                # every restart failed: report +inf like the lockstep path
+                # (the fit caller raises; the polish caller falls back to
+                # its pre-polish optimum)
+                return np.asarray(x0_np)[0], float("inf")
+            return np.asarray(best), float(best_f)
         x0_host = jnp.asarray(x0_np)
         # return_all: the non-return_all core also refreshes the full state
         # (an O(cap^3) Cholesky + Gram at (cap, cap)) that this host path

@@ -220,10 +220,16 @@ def minimize_scipy_restarts(
     x0,
     bounds=None,
     maxiter: int = 200,
+    vg: Optional[Callable] = None,
     **_unused,
 ):
     """Host-side scipy L-BFGS-B multi-restart (parity oracle; cf. reference
-    optim.py:249). Gradients come from one jitted value_and_grad."""
+    optim.py:249). Gradients come from one jitted value_and_grad.
+
+    ``vg``: optional prebuilt ``lp -> (value, grad)`` callable. The default
+    jits ``fun`` per call — fine for one-off oracle use, but a caller invoking
+    this every BO iteration (the host-routed f64 fit) must pass a cached
+    jitted vg or pay a full retrace each fit."""
     from scipy.optimize import minimize as sp_minimize
 
     x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
@@ -235,7 +241,8 @@ def minimize_scipy_restarts(
         else [(float(bounds_arr[0, i]), float(bounds_arr[1, i])) for i in range(p)]
     )
 
-    vg = jax.jit(jax.value_and_grad(fun))
+    if vg is None:
+        vg = jax.jit(jax.value_and_grad(fun))
 
     def f_np(x):
         v, g = vg(jnp.asarray(x))
@@ -255,8 +262,13 @@ def minimize_scipy_restarts(
         except Exception as e:  # pragma: no cover - defensive
             log.warning(f"restart {i} failed: {e}")
             continue
-        acceptable = res.success or "ITERATIONS REACHED LIMIT" in str(res.message).upper()
-        if acceptable and np.isfinite(res.fun) and res.fun < best_f:
+        # any finite endpoint competes: res.fun is OUR objective evaluated at
+        # res.x, so even an "ABNORMAL" line-search termination (scipy gives
+        # up on further progress, commonly at the last ulp near an optimum)
+        # returns a usable best-so-far point — discarding it threw away the
+        # winning restart on GP MLL surfaces (measured: two -179.04 abnormal
+        # endpoints discarded in favor of a +3935 nit-1 "converged" one)
+        if np.isfinite(res.fun) and res.fun < best_f:
             best_f, best_x = float(res.fun), res.x
     if best_x is None:
         raise RuntimeError(

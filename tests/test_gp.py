@@ -281,10 +281,12 @@ def test_host_mirror_tracks_device_state():
 
 
 def test_host_routed_fit_matches_device_fit(monkeypatch):
-    """_fit_f64_host with the mirror must select the same hyperparameters as
-    the on-device f64 fit (identical objective, identical x0)."""
+    """_fit_f64_host (lockstep method) with the mirror must select the same
+    hyperparameters as the on-device f64 fit (identical objective and
+    optimizer, identical x0)."""
     from bobe_tpu.models import gp as gpm
 
+    monkeypatch.setenv("BOBE_TPU_HOST_FIT_METHOD", "lockstep")
     x, y = make_data(40, 2, seed=9)
     gp = GP(train_x=x, train_y=y)
     bounds = gpm.hyperparam_bounds_log(gp.cfg, 2)
@@ -305,6 +307,43 @@ def test_host_routed_fit_matches_device_fit(monkeypatch):
     # differently in the same basin — selection-equivalent, not bit-equal
     np.testing.assert_allclose(best_host, np.asarray(best_dev), rtol=5e-3)
     assert abs(f_host - float(f_dev)) < 1e-3 * abs(float(f_dev))
+
+
+def test_host_scipy_fit_not_worse_than_lockstep():
+    """The default host fit method (scipy L-BFGS-B, adaptive line search)
+    must reach an equal-or-better f64 neg-MLL optimum than the lockstep loop
+    from the same restarts, and its endpoint must score identically under
+    the shared neg_mll objective (the objective cannot drift — only the
+    descent strategy differs)."""
+    from bobe_tpu.models import gp as gpm
+
+    x, y = make_data(40, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    bounds = gpm.hyperparam_bounds_log(gp.cfg, 2)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.uniform(np.asarray(bounds[0]), np.asarray(bounds[1]),
+                                 size=(4, bounds.shape[1])))
+    assert os.environ.get("BOBE_TPU_HOST_FIT_METHOD") is None  # default=scipy
+    # host_xy=None (fetch path): the host state reuses the device y_mean /
+    # y_std bit-exactly, so the value-identity check below is exact; the
+    # mirror path differs in the last ulp of the standardization
+    best_sp, f_sp = gpm._fit_f64_host(gp.state, gp.cfg, 2, 200, "lbfgs", x0,
+                                      host_xy=None)
+    run = gpm._fit_core(gp.cfg, 2, 200, "lbfgs", fit_dtype="float64")
+    _, best_dev, f_dev = run(gp.state, x0)
+    # the reported optimum must BE the objective value at the returned point
+    f_check = float(gpm.neg_mll(gpm._cast_state(gp.state, jnp.float64),
+                                gp.cfg, jnp.asarray(best_sp)))
+    assert abs(f_check - f_sp) < 1e-6 * max(1.0, abs(f_sp))
+    # same-basin-or-better optimum: the two descents may stop a sub-nat
+    # apart within one basin (adaptive zoom vs fixed-trip backtracking), but
+    # scipy must never fall back to a screened initial point or a strictly
+    # worse basin (the acceptance-filter bug this test was written against
+    # returned +45.8 here, 225 nats worse)
+    assert f_sp <= float(f_dev) + 1e-3 * max(1.0, abs(float(f_dev)))
+    # in-bounds endpoint
+    b = np.asarray(bounds)
+    assert np.all(best_sp >= b[0] - 1e-12) and np.all(best_sp <= b[1] + 1e-12)
 
 
 def test_host_routed_refresh_matches_device_refresh():
@@ -336,9 +375,15 @@ def test_host_routed_refresh_matches_device_refresh():
 
 def test_fit_with_forced_host_routing_matches(monkeypatch):
     """fit() with host routing forced on (the TPU production path) must land
-    on the same hyperparameters and refreshed state as the device path."""
+    on the same hyperparameters and refreshed state as the device path.
+    Pinned to the lockstep host method: the point is ROUTING equivalence
+    (same optimizer, host vs device), and the default scipy method is a
+    deliberately different descent (see
+    test_host_scipy_fit_not_worse_than_lockstep — on this very landscape it
+    escapes the bound-pinned basin the lockstep path stops in)."""
     from bobe_tpu.models import gp as gpm
 
+    monkeypatch.setenv("BOBE_TPU_HOST_FIT_METHOD", "lockstep")
     x, y = make_data(40, 2, seed=13)
     rng_a, rng_b = np.random.default_rng(5), np.random.default_rng(5)
     gp_a = GP(train_x=x, train_y=y)
