@@ -15,6 +15,7 @@ A host-side scipy L-BFGS-B path is kept as an optional exact-parity oracle.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional, Tuple
 
@@ -248,19 +249,35 @@ def minimize_scipy_restarts(
         v, g = vg(jnp.asarray(x))
         return float(v), np.asarray(g, dtype=np.float64)
 
+    def one_restart(xi):
+        return sp_minimize(
+            f_np, xi, jac=True, method="L-BFGS-B", bounds=scipy_bounds,
+            options={"maxiter": maxiter},
+        )
+
     best_f, best_x = np.inf, None
     for xi in x0:
         v, _ = f_np(xi)
         if np.isfinite(v) and v < best_f:
             best_f, best_x = v, xi
-    for i, xi in enumerate(x0):
-        try:
-            res = sp_minimize(
-                f_np, xi, jac=True, method="L-BFGS-B", bounds=scipy_bounds,
-                options={"maxiter": maxiter},
-            )
-        except Exception as e:  # pragma: no cover - defensive
-            log.warning(f"restart {i} failed: {e}")
+
+    # restarts are independent: run them on a thread pool when the host has
+    # cores to spare (scipy's L-BFGS-B fortran core and jax executions both
+    # release the GIL). This is the host-side analogue of the reference's
+    # MPI restart farm (pool.py:269-271); on a 1-core host it degrades to
+    # the serial loop.
+    workers = min(len(x0), os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            outcomes = list(ex.map(
+                lambda xi: _try_restart(one_restart, xi), x0))
+    else:
+        outcomes = [_try_restart(one_restart, xi) for xi in x0]
+    for i, res in enumerate(outcomes):
+        if res is None:
+            log.warning(f"scipy restart {i} raised (skipped)")
             continue
         # any finite endpoint competes: res.fun is OUR objective evaluated at
         # res.x, so even an "ABNORMAL" line-search termination (scipy gives
@@ -275,6 +292,14 @@ def minimize_scipy_restarts(
             "every optimizer restart failed (objective non-finite at all "
             "initial points and no scipy run succeeded)")
     return jnp.asarray(best_x), jnp.asarray(best_f)
+
+
+def _try_restart(runner, xi):
+    """Run one scipy restart, mapping exceptions to None (skipped)."""
+    try:
+        return runner(xi)
+    except Exception:  # pragma: no cover - defensive
+        return None
 
 
 def minimize(fun, x0, bounds=None, optimizer="lbfgs", **kw):

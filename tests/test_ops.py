@@ -288,3 +288,20 @@ def test_minimize_scipy_parity():
     x0 = jnp.asarray([[0.4, 0.4], [0.6, 0.2]])
     x, f = opt_ops.minimize_scipy_restarts(fun, x0, bounds=jnp.asarray([[0.0], [1.0]]) * jnp.ones((2, 2)))
     np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-5)
+
+
+def test_minimize_scipy_threaded_matches_serial(monkeypatch):
+    """Thread-parallel restarts (multi-core hosts) must select the same
+    optimum as the serial loop: restarts are independent, so only wall time
+    may differ. A multimodal objective makes a selection bug visible."""
+    fun = lambda x: jnp.sum(jnp.cos(3.0 * x) + 0.1 * (x - 0.3) ** 2)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-2.0, 2.0, size=(6, 3)))
+    bounds = jnp.asarray([[-2.0] * 3, [2.0] * 3])
+    monkeypatch.setattr(opt_ops.os, "cpu_count", lambda: 1)
+    x_ser, f_ser = opt_ops.minimize_scipy_restarts(fun, x0, bounds=bounds)
+    monkeypatch.setattr(opt_ops.os, "cpu_count", lambda: 4)
+    x_thr, f_thr = opt_ops.minimize_scipy_restarts(fun, x0, bounds=bounds)
+    np.testing.assert_allclose(np.asarray(x_thr), np.asarray(x_ser),
+                               rtol=1e-12, atol=1e-12)
+    assert float(f_thr) == float(f_ser)
