@@ -830,23 +830,29 @@ class BOBE:
                 "dlogz_sampler", 0.0))
             if dlogz_s > self.logz_threshold:
                 boost = self._ns_boost(dlogz_s, lo=2)
-                from .samplers import ns_settings
-                nlive_conv = ns_settings("convergence", self.ndim)[0]
-                log.info(f"Final-precision NS: nlive {nlive_conv} -> "
-                         f"{boost * nlive_conv} (sampler noise {dlogz_s:.3f} "
+                log.info(f"Final-precision NS: {boost} extra base-nlive runs "
+                         f"merged (sampler noise {dlogz_s:.3f} "
                          f"> threshold {self.logz_threshold})")
-                # merge with the convergence NS that just succeeded: same GP
-                # state (convergence can only flip inside the ns_flag branch,
-                # after which nothing updates the GP), so the dead points are
-                # exchangeable and the reported evidence uses ALL the NS work
-                # instead of discarding the earlier pass (which could land a
-                # fresh-noise estimate FARTHER from truth than the one it
-                # replaced — observed on a banana seed: -3.13 -> -3.29)
+                # n_runs=boost rather than nlive=boost*nlive: merging b
+                # independent base-nlive runs has the same 1/sqrt(b) sampler
+                # noise as one b*nlive run (dynesty merge theory) but reuses
+                # the already-compiled convergence-mode NS graph — a boosted
+                # nlive is a new static shape whose mega-graph compile costs
+                # minutes over relay/tunneled TPU transports (measured 65-460 s
+                # vs ~1 s steady-state execution at d=6).
+                # Also merge with the convergence NS that just succeeded: same
+                # GP state (convergence can only flip inside the ns_flag
+                # branch, after which nothing updates the GP), so the dead
+                # points are exchangeable and the reported evidence uses ALL
+                # the NS work instead of discarding the earlier pass (which
+                # could land a fresh-noise estimate FARTHER from truth than
+                # the one it replaced — observed on a banana seed:
+                # -3.13 -> -3.29)
                 prior_raw = (self.ns_samples or {}).get("raw")
                 self.results_manager.start_timing("Nested Sampling")
                 ns_samples, logz_dict, ok = nested_sampling(
                     gp=self.gp, mode="convergence", dlogz=0.01,
-                    nlive=boost * nlive_conv,
+                    n_runs=boost,
                     merge_with=[prior_raw] if prior_raw is not None else None,
                     equal_weights=False, rng=self.np_rng)
                 self.results_manager.end_timing("Nested Sampling")
@@ -867,16 +873,16 @@ class BOBE:
             # static pass, matching the reference's final dynesty
             # DynamicNestedSampler run (reference bo.py:1346-1367). The
             # reported evidence should not be floored by NS sampler noise
-            # even on budget-capped (unconverged) exits, so boost nlive the
-            # same way the post-convergence final-precision pass does, using
-            # the last convergence NS's measured sampler error.
-            from .samplers import ns_settings
+            # even on budget-capped (unconverged) exits, so repeat-and-merge
+            # base-nlive runs the same way the post-convergence
+            # final-precision pass does (n_runs reuses the compiled NS graph;
+            # a boosted nlive would recompile it), using the last convergence
+            # NS's measured sampler error.
             dlogz_s = float(self.results_dict.get("logz", {}).get(
                 "dlogz_sampler", 0.0))
             boost = self._ns_boost(dlogz_s, lo=1)
             final_samples, logz_dict, final_ok = nested_sampling(
-                gp=self.gp, mode="convergence", dlogz=0.01,
-                nlive=boost * ns_settings("convergence", self.ndim)[0],
+                gp=self.gp, mode="convergence", dlogz=0.01, n_runs=boost,
                 dynamic=True, rng=self.np_rng)
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(

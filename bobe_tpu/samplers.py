@@ -163,7 +163,7 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
                     dlogz: Optional[float] = None, dynamic: bool = False,
                     maxcall: Optional[int] = None, equal_weights: bool = False,
                     rng=None, rng_key=None, nlive: Optional[int] = None,
-                    merge_with: Optional[list] = None,
+                    merge_with: Optional[list] = None, n_runs: int = 1,
                     **ns_kwargs) -> Tuple[Dict, Dict, bool]:
     """Nested sampling over the GP surrogate.
 
@@ -181,10 +181,21 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     pass: sampler noise drops by ~sqrt(total live points / new live points).
     Merging runs from different GP states is invalid (their logl values
     disagree) — callers must only pass runs taken since the last GP update.
-    For classifier-gated surrogates the merged ledger starts at the CURRENT
-    run's feasible-fraction estimate; prior runs' independent f_hat draws
+    For classifier-gated surrogates the merged ledger starts at the pooled
+    feasible-fraction estimate; individual runs' independent f_hat draws
     differ by O(sqrt(var_logvol0)) ~ 1e-2, already accounted inside the
     reported var/upper/lower widening below.
+
+    ``n_runs``: run the sampler ``n_runs`` times at the SAME static
+    configuration (fresh PRNG keys, fresh live seeding) and merge all runs at
+    the dead-point level. Merging b independent runs of nlive live points is
+    statistically equivalent to one run at b*nlive (sampler noise drops by
+    sqrt(b); dynesty's merge theory) — but it REUSES the already-compiled NS
+    graph, whereas nlive=b*nlive_base is a brand-new static shape whose
+    mega-graph compile costs minutes on relay/tunneled TPUs (measured: 65 s
+    for the GP-backed convergence loop on a quiet relay, 460+ s congested;
+    the run itself is ~1 s steady-state at d=6). The final-precision passes
+    in bo.py use this instead of boosting nlive.
     """
     ndim = ndim if ndim is not None else gp.ndim
     nlive_default, dlogz_default, maxcall_default = ns_settings(mode, ndim)
@@ -225,35 +236,57 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
         live_x, live_logl, logvol0, var_logvol0 = _seed_live_points(
             gp, loglike, nlive, ndim, rng)
 
-    if dynamic:
-        # dynesty DynamicNestedSampler semantics (reference bo.py:1346-1367):
-        # static base pass + posterior-bulk refinement batch, merged with the
-        # varying-live-count volume schedule (infer/nested.run_nested_dynamic)
-        res = run_nested_dynamic(apply_fn, ctx, ndim, key, nlive=nlive,
-                                 dlogz=dlogz, maxcall=maxcall, live_x=live_x,
-                                 live_logl=live_logl, rng=rng,
-                                 logvol0=logvol0, **ns_kwargs)
-    else:
-        res = run_nested(apply_fn, ctx, ndim, key, nlive=nlive, dlogz=dlogz,
-                         maxcall=maxcall, live_x=live_x, live_logl=live_logl,
-                         rng=rng, logvol0=logvol0, **ns_kwargs)
-    log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
-              f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
+    runner = run_nested_dynamic if dynamic else run_nested
+    # dynamic=True: dynesty DynamicNestedSampler semantics (reference
+    # bo.py:1346-1367): static base pass + posterior-bulk refinement batch,
+    # merged with the varying-live-count volume schedule
+    # (infer/nested.run_nested_dynamic)
+    n_runs = max(1, int(n_runs))
+    keys = list(jax.random.split(key, n_runs)) if n_runs > 1 else [key]
+    results, lv0s, vlv0s = [], [], []
+    for i, k in enumerate(keys):
+        if i > 0 and getattr(gp, "use_clf", False):
+            # independent live seeding per repeat (each run must be an
+            # independent NS realization for the merge noise scaling to hold)
+            live_x, live_logl, logvol0, var_logvol0 = _seed_live_points(
+                gp, loglike, nlive, ndim, rng)
+        res = runner(apply_fn, ctx, ndim, k, nlive=nlive, dlogz=dlogz,
+                     maxcall=maxcall, live_x=live_x, live_logl=live_logl,
+                     rng=rng, logvol0=logvol0, **ns_kwargs)
+        log.debug(f"NS: {res.n_iter} iters, {res.n_calls} surrogate calls, "
+                  f"{len(res.dead_logl)} points, quick logz={res.logz:.3f}")
+        if n_runs > 1 and not res.success:
+            log.warning(f"NS repeat {i + 1}/{n_runs} failed; dropping it "
+                        "from the merge")
+            continue
+        results.append(res)
+        lv0s.append(logvol0)
+        vlv0s.append(var_logvol0)
+    if not results:  # every repeat failed: preserve single-run failure path
+        results, lv0s, vlv0s = [res], [logvol0], [var_logvol0]
+    res = results[-1]
+    # pooled seed-volume estimate across repeats (independent binomial MLEs
+    # of the same feasible fraction: mean of the logs, variance / n)
+    logvol0 = float(np.mean(lv0s))
+    var_logvol0 = float(np.mean(vlv0s)) / len(vlv0s)
 
-    # raw-run tuple for later dead-point-level merging (see merge_with)
-    raw = (np.asarray(res.dead_x), np.asarray(res.dead_logl),
-           np.asarray(res.nlive_schedule, dtype=float), -np.inf)
-    if merge_with:
+    # raw-run tuples for dead-point-level merging (see merge_with)
+    raws = [(np.asarray(r.dead_x), np.asarray(r.dead_logl),
+             np.asarray(r.nlive_schedule, dtype=float), -np.inf)
+            for r in results]
+    merge_list = (list(merge_with) if merge_with else []) + raws
+    if len(merge_list) > 1:
         from .infer.nested import merge_runs
 
         dead_x, dead_logl, logvol_arr, n_at_death = merge_runs(
-            list(merge_with) + [raw], logvol0=res.logvol0)
+            merge_list, logvol0=logvol0)
         raw = (dead_x, dead_logl, n_at_death, -np.inf)
         err_nlive = n_at_death
-        log.debug(f"NS merge: combined {len(merge_with) + 1} runs -> "
+        log.debug(f"NS merge: combined {len(merge_list)} runs -> "
                   f"{len(dead_logl)} points, peak live count "
                   f"{float(np.max(n_at_death)):.0f}")
     else:
+        raw = raws[0]
         dead_x, dead_logl, logvol_arr = res.dead_x, res.dead_logl, res.logvol
         # dynamic runs have region-dependent live counts (base+batch overlap
         # only in the posterior bulk) — the per-death schedule is the honest
@@ -278,10 +311,10 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
             sigma = sigma * min(kappa, 5.0)
             log.debug(f"LOO calibration: sigma scaled by {min(kappa, 5.0):.2f}")
     logz_dict = integrals.logz_bounds_from_gp_sigma(dead_logl, logvol_arr,
-                                                    sigma, lv_start=res.logvol0)
+                                                    sigma, lv_start=logvol0)
     h, logzerr = integrals.information_and_err(dead_logl, logvol_arr,
                                                logz_dict["mean"], err_nlive,
-                                               lv_start=res.logvol0)
+                                               lv_start=logvol0)
     # the feasible-fraction estimate carries its own (binomial) uncertainty;
     # widen upper/lower too so the (upper-lower)/2 convergence delta sees it
     # (it is ~1e-2 at typical draw counts, but must not be silently dropped)
@@ -293,7 +326,7 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
 
-    logwt = integrals.logwt_from(dead_logl, logvol_arr, lv_start=res.logvol0)
+    logwt = integrals.logwt_from(dead_logl, logvol_arr, lv_start=logvol0)
     weights = renormalise_log_weights(logwt)
     samples_x, logl = dead_x, dead_logl
     success = res.success and not np.all(logl == logl[0])

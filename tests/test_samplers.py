@@ -216,6 +216,32 @@ def test_nested_sampling_merge_tightens_sampler_noise(gp_gaussian):
     assert lz3["dlogz_sampler"] < lz2["dlogz_sampler"]
 
 
+def test_nested_sampling_n_runs_merges_without_recompiling(gp_gaussian):
+    """n_runs=b repeats the sampler at the SAME static configuration and
+    merges at the dead-point level: sampler noise must drop ~1/sqrt(b) and —
+    the point of the feature — the jitted NS loop must gain NO new compile
+    entries vs a single run (a boosted nlive is a new static shape whose
+    mega-graph compile costs minutes on relay TPUs; the final-precision
+    passes in bo.py rely on this)."""
+    from bobe_tpu.infer.nested import _ns_loop
+
+    want = np.log(2 * np.pi * 0.15**2)
+    s1, lz1, ok1 = nested_sampling(gp_gaussian, mode="convergence", dlogz=0.01,
+                                   rng=np.random.default_rng(8))
+    assert ok1
+    n_compiles = _ns_loop._cache_size()
+    s3, lz3, ok3 = nested_sampling(gp_gaussian, mode="convergence", dlogz=0.01,
+                                   n_runs=3, rng=np.random.default_rng(9))
+    assert ok3
+    assert _ns_loop._cache_size() == n_compiles, \
+        "n_runs must reuse the single-run NS graph"
+    # ~sqrt(3) noise reduction; allow slack for schedule edges
+    assert lz3["dlogz_sampler"] < 0.75 * lz1["dlogz_sampler"]
+    assert abs(lz3["mean"] - want) < 0.3
+    # merged raw tuple has the stacked live-count schedule (peak ~3x nlive)
+    assert float(np.max(s3["raw"][2])) > 2.0 * float(np.max(s1["raw"][2]))
+
+
 def test_information_err_schedule_consistency():
     """A constant per-death schedule must reproduce the scalar-nlive error."""
     from bobe_tpu.infer import integrals
