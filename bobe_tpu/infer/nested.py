@@ -57,17 +57,22 @@ class NSResult(NamedTuple):
     #   evidence integrals must start their first volume shell here)
 
 
+def _live_cov_chol(live_x):
+    """Cholesky of the live-set empirical covariance (whitened sampling)."""
+    nlive, d = live_x.shape
+    mean = jnp.mean(live_x, axis=0)
+    xc = (live_x - mean) / jnp.sqrt(jnp.asarray(nlive, live_x.dtype))
+    cov = xc.T @ xc + 1e-10 * jnp.eye(d, dtype=live_x.dtype)
+    return jnp.linalg.cholesky(cov)
+
+
 def _slice_directions(key, live_x, n_dir):
     """Directions from the live-set empirical covariance (whitened sampling).
 
     live_x: (nlive, d); returns (n_dir, d) unnormalized direction vectors.
     """
-    nlive, d = live_x.shape
-    mean = jnp.mean(live_x, axis=0)
-    xc = (live_x - mean) / jnp.sqrt(jnp.asarray(nlive, live_x.dtype))
-    cov = xc.T @ xc + 1e-10 * jnp.eye(d, dtype=live_x.dtype)
-    chol = jnp.linalg.cholesky(cov)
-    z = random.normal(key, (n_dir, d), dtype=live_x.dtype)
+    chol = _live_cov_chol(live_x)
+    z = random.normal(key, (n_dir, live_x.shape[1]), dtype=live_x.dtype)
     return z @ chol.T
 
 
@@ -115,62 +120,86 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
 
         survivor_idx: (nlive - K,) indices of genuine survivors — clones start
         uniformly over survivors (dynesty picks a random live point the same
-        way for its walk starts)."""
+        way for its walk starts).
+
+        Fused per-lane loop: every lane runs its own n_repeats slice updates
+        back-to-back — a lane that accepts draws a fresh direction and starts
+        its next repeat on the very next iteration instead of idling until
+        the slowest lane of the round accepts. Sequential batched-GP evals
+        per outer step drop from sum_r max_lanes(shrink_r) to
+        max_lanes(sum_r shrink_r): the max-over-lanes tail (~log K extra
+        shrinks) is paid once rather than n_repeats times, which at
+        n_repeats = 3d (d >= 10) is the dominant sequential depth of the
+        whole sampler."""
         k_pick, k_dir, k_loop = random.split(key, 3)
         pick = random.randint(k_pick, (K,), 0, nlive - K)
         idx = survivor_idx[pick]
         x_cur = live_x[idx]
         l_cur = live_logl[idx]
 
-        def one_repeat(carry, rep_key):
-            x_cur, l_cur = carry
-            k_d, k_u, k_s = random.split(rep_key, 3)
-            e = _slice_directions(k_d, live_x, K)  # (K, d)
-            lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
+        chol = _live_cov_chol(live_x)  # fixed within this outer step
 
-            def shrink_body(c):
-                it, nev, key, lo, hi, x_cur, l_cur, done = c
-                key, k_t = random.split(key)
-                t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
-                x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
-                if mesh is not None:
-                    # multi-chip: the proposal batch (the hot GP-mean eval)
-                    # is sharded over the mesh; the GP state is replicated
-                    from ..parallel.mesh import batch_sharded
+        def draw_dirs(k):
+            z = random.normal(k, (K, d), dtype=dt)
+            return z @ chol.T
 
-                    x_try = jax.lax.with_sharding_constraint(
-                        x_try, batch_sharded(mesh))
-                l_try = loglike_fn(x_try)
-                # exact eval accounting: only not-yet-done lanes consume a
-                # surrogate call this round (dynesty-equivalent ncall
-                # semantics; the batched evaluation itself is one fused
-                # device op either way)
-                nev = nev + jnp.sum(~done).astype(nev.dtype)
-                ok = (l_try > lstar) & ~done
-                x_cur = jnp.where(ok[:, None], x_try, x_cur)
-                l_cur = jnp.where(ok, l_try, l_cur)
-                done = done | ok
-                # shrink the bracket toward 0 for still-active chains
-                shrink_left = (~done) & (t < 0)
-                lo = jnp.where(shrink_left, t, lo)
-                hi = jnp.where((~done) & (t >= 0), t, hi)
-                return it + 1, nev, key, lo, hi, x_cur, l_cur, done
+        e0 = draw_dirs(k_dir)
+        lo0, hi0 = jax.vmap(_chord_bounds)(x_cur, e0)
 
-            def shrink_cond(c):
-                it, _, _, _, _, _, _, done = c
-                return (it < max_shrink) & ~jnp.all(done)
+        def body(c):
+            it, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur = c
+            key, k_t, k_e = random.split(key, 3)
+            active = rep < n_repeats
+            t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
+            x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
+            if mesh is not None:
+                # multi-chip: the proposal batch (the hot GP-mean eval)
+                # is sharded over the mesh; the GP state is replicated
+                from ..parallel.mesh import batch_sharded
 
-            done0 = jnp.zeros(K, bool)
-            nev0 = jnp.asarray(0, jnp.int64)
-            it, nev, _, _, _, x_cur, l_cur, done = lax.while_loop(
-                shrink_cond, shrink_body,
-                (0, nev0, k_s, lo, hi, x_cur, l_cur, done0))
-            return (x_cur, l_cur), nev
+                x_try = jax.lax.with_sharding_constraint(
+                    x_try, batch_sharded(mesh))
+            l_try = loglike_fn(x_try)
+            # exact eval accounting: only lanes still inside their repeat
+            # budget consume a surrogate call this round (dynesty-equivalent
+            # ncall semantics; the batched evaluation itself is one fused
+            # device op either way)
+            nev = nev + jnp.sum(active).astype(nev.dtype)
+            ok = (l_try > lstar) & active
+            x_cur = jnp.where(ok[:, None], x_try, x_cur)
+            l_cur = jnp.where(ok, l_try, l_cur)
+            # shrink the bracket toward 0 for rejected active lanes
+            nok = active & ~ok
+            lo = jnp.where(nok & (t < 0), t, lo)
+            hi = jnp.where(nok & (t >= 0), t, hi)
+            shrink = jnp.where(nok, shrink + 1, shrink)
+            # a repeat completes on acceptance or on exhausting max_shrink
+            # (exhausted lanes keep their current point, as before)
+            complete = ok | (nok & (shrink >= max_shrink))
+            rep = rep + complete.astype(rep.dtype)
+            # fresh direction + full-chord bracket for completed lanes
+            e_new = draw_dirs(k_e)
+            lo_new, hi_new = jax.vmap(_chord_bounds)(x_cur, e_new)
+            e = jnp.where(complete[:, None], e_new, e)
+            lo = jnp.where(complete, lo_new, lo)
+            hi = jnp.where(complete, hi_new, hi)
+            shrink = jnp.where(complete, 0, shrink)
+            return it + 1, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur
 
-        rep_keys = random.split(k_loop, n_repeats)
-        (x_new, l_new), nevs = lax.scan(one_repeat, (x_cur, l_cur), rep_keys)
-        calls = jnp.sum(nevs).astype(jnp.int64)
-        return x_new, l_new, calls
+        def cond(c):
+            it, _, _, rep, *_ = c
+            # per-lane budget bounds total iterations; the it guard is a
+            # backstop against pathological non-termination
+            return jnp.any(rep < n_repeats) & (it < n_repeats * max_shrink)
+
+        nev0 = jnp.asarray(0, jnp.int64)
+        rep0 = jnp.zeros(K, jnp.int32)
+        shrink0 = jnp.zeros(K, jnp.int32)
+        out = lax.while_loop(cond, body,
+                             (0, nev0, k_loop, rep0, shrink0, e0, lo0, hi0,
+                              x_cur, l_cur))
+        _, nev, _, _, _, _, _, _, x_new, l_new = out
+        return x_new, l_new, nev
 
     def body(c):
         (it, key, live_x, live_logl, dead_x, dead_logl, dead_lv,
@@ -385,39 +414,56 @@ def _decorrelate(loglike_apply, ctx, x0, l0, lstar, key,
     dt = x0.dtype
     loglike_fn = lambda x: loglike_apply(ctx, x)
 
-    def one_repeat(carry, rep_key):
-        x_cur, l_cur = carry
-        k_d, k_s = random.split(rep_key)
-        e = _slice_directions(k_d, x_cur, n)
-        lo, hi = jax.vmap(_chord_bounds)(x_cur, e)
+    # fused per-lane loop (see _ns_loop.replace_batch): each lane runs its
+    # n_repeats slice updates back-to-back instead of barriering per repeat.
+    # Directions come from the evolving ensemble's covariance, refreshed each
+    # time any lane completes a repeat (the ensemble is the best local
+    # whitening available, as before).
+    k_dir, k_loop = random.split(key)
+    chol0 = _live_cov_chol(x0)
 
-        def shrink_body(c):
-            it, key, lo, hi, x_cur, l_cur, done = c
-            key, k_t = random.split(key)
-            t = lo + (hi - lo) * random.uniform(k_t, (n,), dtype=dt)
-            x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
-            l_try = loglike_fn(x_try)
-            ok = (l_try > lstar) & ~done
-            x_cur = jnp.where(ok[:, None], x_try, x_cur)
-            l_cur = jnp.where(ok, l_try, l_cur)
-            done = done | ok
-            lo = jnp.where((~done) & (t < 0), t, lo)
-            hi = jnp.where((~done) & (t >= 0), t, hi)
-            return it + 1, key, lo, hi, x_cur, l_cur, done
+    def draw_dirs(k, chol):
+        z = random.normal(k, (n, d), dtype=dt)
+        return z @ chol.T
 
-        def shrink_cond(c):
-            it, _, _, _, _, _, done = c
-            return (it < max_shrink) & ~jnp.all(done)
+    e0 = draw_dirs(k_dir, chol0)
+    lo0, hi0 = jax.vmap(_chord_bounds)(x0, e0)
 
-        out = lax.while_loop(shrink_cond, shrink_body,
-                             (0, k_s, lo, hi, x_cur, l_cur,
-                              jnp.zeros(n, bool)))
-        it, _, _, _, x_cur, l_cur, _ = out
-        return (x_cur, l_cur), it
+    def body(c):
+        it, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur = c
+        key, k_t, k_e = random.split(key, 3)
+        active = rep < n_repeats
+        t = lo + (hi - lo) * random.uniform(k_t, (n,), dtype=dt)
+        x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
+        l_try = loglike_fn(x_try)
+        nev = nev + jnp.sum(active).astype(nev.dtype)
+        ok = (l_try > lstar) & active
+        x_cur = jnp.where(ok[:, None], x_try, x_cur)
+        l_cur = jnp.where(ok, l_try, l_cur)
+        nok = active & ~ok
+        lo = jnp.where(nok & (t < 0), t, lo)
+        hi = jnp.where(nok & (t >= 0), t, hi)
+        shrink = jnp.where(nok, shrink + 1, shrink)
+        complete = ok | (nok & (shrink >= max_shrink))
+        rep = rep + complete.astype(rep.dtype)
+        e_new = draw_dirs(k_e, _live_cov_chol(x_cur))
+        lo_new, hi_new = jax.vmap(_chord_bounds)(x_cur, e_new)
+        e = jnp.where(complete[:, None], e_new, e)
+        lo = jnp.where(complete, lo_new, lo)
+        hi = jnp.where(complete, hi_new, hi)
+        shrink = jnp.where(complete, 0, shrink)
+        return it + 1, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur
 
-    (x_new, l_new), its = lax.scan(one_repeat, (x0, l0),
-                                   random.split(key, n_repeats))
-    return x_new, l_new, jnp.sum(its) * n
+    def cond(c):
+        it, _, _, rep, *_ = c
+        return jnp.any(rep < n_repeats) & (it < n_repeats * max_shrink)
+
+    out = lax.while_loop(cond, body,
+                         (0, jnp.asarray(0, jnp.int64), k_loop,
+                          jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                          e0, lo0, hi0, x0, l0))
+    _, nev, _, _, _, _, _, _, x_new, l_new = out
+    return x_new, l_new, nev
 
 
 def merge_runs(runs, logvol0: float = 0.0):
