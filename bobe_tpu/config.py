@@ -46,6 +46,14 @@ def _host_fingerprint() -> str:
     # whose cpuinfo is byte-identical but whose mitigation state differs —
     # observed in this repo as cpu_aot_loader feature-mismatch errors on
     # entries written under the same fingerprint (BENCH_NOTES round 3).
+    # The CPUID identity lines (cpu family / model / stepping) are folded in
+    # too: LLVM's host detection keys its tuning (including the GDS-driven
+    # prefer-no-gather choice) on the microarchitecture model, while cloud
+    # VMs report a GENERIC "model name" ("Intel(R) Xeon(R) Processor @
+    # 2.10GHz") and identical flags across different physical generations —
+    # observed in round 3 as an Ice-Lake-compiled (+prefer-no-gather) entry
+    # loaded on an Emerald-Rapids node under one fingerprint even with the
+    # GDS sysfs state keyed ("Not affected" on both).
     return _host_fingerprint_from(
         "/proc/cpuinfo",
         "/sys/devices/system/cpu/vulnerabilities/gather_data_sampling")
@@ -55,7 +63,8 @@ def _host_fingerprint_from(cpuinfo_path: str, vuln_path: str = None) -> str:
     """See _host_fingerprint; split out so tests can feed cpuinfo dialects."""
     import hashlib
 
-    _KEYS = ("flags", "model name", "Features", "CPU implementer", "CPU part")
+    _KEYS = ("flags", "model name", "cpu family", "model", "stepping",
+             "Features", "CPU implementer", "CPU part")
     try:
         seen: dict = {}
         order = []

@@ -179,3 +179,29 @@ def test_host_fingerprint_keys_on_gds_mitigation_state(tmp_path):
     assert len({fp_plain, fp_ok, fp_mit}) == 3
     # unreadable vulnerability file degrades to the cpuinfo-only fingerprint
     assert _host_fingerprint_from(str(cpu), str(tmp_path / "nope")) == fp_plain
+
+
+def test_host_fingerprint_keys_on_cpuid_model(tmp_path):
+    """Cloud VMs report a generic 'model name' and identical flags across
+    different physical CPU generations; LLVM's host tuning (including the
+    GDS-driven +prefer-no-gather AOT target feature) keys on the CPUID
+    family/model/stepping. Nodes differing only there must fingerprint
+    differently (observed in round 3: an Ice-Lake-compiled entry loaded on
+    an Emerald-Rapids node under one fingerprint, cpu_aot_loader feature
+    mismatch)."""
+    from bobe_tpu.config import _host_fingerprint_from
+
+    def cpuinfo(model, stepping):
+        p = tmp_path / f"m{model}s{stepping}"
+        p.write_text(
+            "processor\t: 0\nvendor_id\t: GenuineIntel\ncpu family\t: 6\n"
+            f"model\t\t: {model}\nmodel name\t: Intel(R) Xeon(R) Processor"
+            f" @ 2.10GHz\nstepping\t: {stepping}\nmicrocode\t: 0x1\n"
+            "flags\t\t: sse sse2 avx512f\n")
+        return str(p)
+
+    fp_icx = _host_fingerprint_from(cpuinfo(106, 6))   # Ice Lake SP
+    fp_emr = _host_fingerprint_from(cpuinfo(207, 2))   # Emerald Rapids
+    fp_emr2 = _host_fingerprint_from(cpuinfo(207, 2))
+    assert fp_icx != fp_emr
+    assert fp_emr == fp_emr2
