@@ -74,8 +74,10 @@ def _host_fingerprint_from(cpuinfo_path: str, vuln_path: str = None) -> str:
                 if key in _KEYS and key not in seen:
                     seen[key] = line.strip()
                     order.append(key)
-                if "flags" in seen and "model name" in seen:
-                    break
+                # no early exit: on cpuinfo dialects where 'flags' precedes
+                # the identity lines, breaking at flags+model-name silently
+                # dropped keys from the fingerprint; the file is small (the
+                # first-occurrence filter already ignores repeat blocks)
         blob = "|".join(seen[k] for k in order)
         if not blob:  # unknown /proc/cpuinfo dialect: fall back, never ''
             raise OSError("no recognizable cpuinfo lines")

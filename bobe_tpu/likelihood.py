@@ -9,6 +9,7 @@ log-prior-volume shift so logZ matches Cobaya's normalization
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, List, Optional, Union
 
 import numpy as np
@@ -102,8 +103,18 @@ class CobayaLikelihood(Likelihood):
                 "'cosmology' extra or provide a plain callable instead."
             ) from e
 
-        info = yaml_load(input_file_dict) if isinstance(input_file_dict, str) \
-            else input_file_dict
+        if isinstance(input_file_dict, str):
+            # accept a YAML file PATH (the reference's advertised usage,
+            # /root/reference/examples/Planck_lite_LCDM.py:23-24) as well as
+            # YAML text — a path fed to yaml_load parses as a bare string
+            # and fails with a confusing schema error
+            if os.path.isfile(input_file_dict):
+                with open(input_file_dict) as f:
+                    info = yaml_load(f.read())
+            else:
+                info = yaml_load(input_file_dict)
+        else:
+            info = input_file_dict
         model = get_model(info)
         param_list = list(model.parameterization.sampled_params())
         bounds = np.asarray(

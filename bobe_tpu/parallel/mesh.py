@@ -48,6 +48,17 @@ def production_mesh() -> Optional[Mesh]:
     reference's only device-level dispatch was pmapping NUTS chains,
     /root/reference/BOBE/samplers.py:304-349). Disable with BOBE_TPU_NO_MESH=1
     (used by the sharded-vs-unsharded parity tests).
+
+    Under a multi-process ``jax.distributed`` group (the DistributedPool
+    deployment: rank 0 orchestrates, other ranks sit in worker_loop serving
+    likelihoods) the mesh covers only THIS process's addressable devices.
+    Building it from the global ``jax.devices()`` list would have rank 0
+    dispatch single-controller computations onto devices owned by processes
+    that are not executing the same program — a multi-controller violation
+    that hangs the runtime. Each rank's device math is local; the hosts
+    cooperate only through the pool's host-side collectives. (The reference's
+    mpi4py ranks likewise each drove only their own jax platform,
+    /root/reference/BOBE/pool.py:143-206.)
     """
     import os
 
@@ -56,7 +67,10 @@ def production_mesh() -> Optional[Mesh]:
     global _PRODUCTION_MESH
     if _PRODUCTION_MESH is None:
         try:
-            devices = jax.devices()
+            if jax.process_count() > 1:
+                devices = jax.local_devices()
+            else:
+                devices = jax.devices()
         except RuntimeError:
             return None
         if len(devices) < 2:

@@ -59,9 +59,11 @@ class EvalPool:
         """Draw n valid points from the Cobaya reference distribution."""
         raise NotImplementedError
 
-    def gp_fit(self, gp, n_restarts=8, maxiters=500, rng=None, use_pool=True):
+    def gp_fit(self, gp, n_restarts=8, maxiters=500, rng=None):
         """Hyperparameter fit. On-device vmapped restarts — the pool exists
-        only for API familiarity (reference pool.py:239)."""
+        only for API familiarity (reference pool.py:239; its ``use_pool``
+        flag has no equivalent here because the device replaces the MPI
+        restart farm outright)."""
         return gp.fit(n_restarts=n_restarts, maxiter=maxiters, rng=rng)
 
     def clear_jax_caches(self):
@@ -217,8 +219,11 @@ class DistributedPool(EvalPool):
     pool falls back to static round-robin sharding + all-gather.
 
     Worker ranks block in :meth:`worker_loop` between batches. Requires
-    jax.distributed.initialize() to have been called (the BOBE orchestrator
-    does this when world size > 1).
+    ``jax.distributed.initialize()`` to have been called BEFORE constructing
+    the pool — by the launching script/test harness (see
+    tests/distributed_driver.py), never by bobe_tpu itself: initialize() must
+    run before any jax backend use, which user code cannot guarantee by the
+    time BOBE is constructed.
     """
 
     TASK_EVAL, TASK_COBAYA, TASK_EXIT, TASK_EVAL_DYN = 0, 1, 2, 3

@@ -354,6 +354,23 @@ def _maybe_shard_chains(arr):
     return arr
 
 
+def _mesh_aligned_chains(num_chains: int) -> int:
+    """Round the chain count UP to a multiple of the production mesh size.
+
+    Without this the default 4-chain final-samples NUTS runs on a single
+    device of an 8-chip mesh (_maybe_shard_chains skips non-divisible
+    layouts). The reference dispatched chains across devices including the
+    devices >= chains case (/root/reference/BOBE/samplers.py:304-349); here
+    extra chains are free parallel work and only enlarge the sample pool.
+    """
+    from .parallel.mesh import production_mesh
+
+    mesh = production_mesh()
+    if mesh is None or num_chains % mesh.size == 0:
+        return int(num_chains)
+    return int(-(-num_chains // mesh.size) * mesh.size)
+
+
 def get_hmc_settings(ndim, warmup_steps=None, num_samples=None, thinning=None):
     """Dimension-based defaults (reference samplers.py:196-214)."""
     warmup_steps = warmup_steps if warmup_steps is not None else (256 if ndim <= 9 else 512)
@@ -525,6 +542,7 @@ def sample_gp_nuts(gp, np_rng=None, rng_key=None, num_chains: int = 4,
     warmup_steps, num_samples, thinning = get_hmc_settings(
         ndim=gp.ndim, **{k: v for k, v in kwargs.items()
                          if k in ("warmup_steps", "num_samples", "thinning")})
+    num_chains = _mesh_aligned_chains(int(num_chains))
     np_rng = np_rng if np_rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
 
@@ -596,7 +614,7 @@ def sample_gp_ensemble(gp, np_rng=None, rng_key=None, num_chains: int = 64,
     NUTS remains the final-samples sampler.
     """
     nc, kept, cold_warmup = get_ehmc_settings(
-        gp.ndim, num_chains=num_chains,
+        gp.ndim, num_chains=_mesh_aligned_chains(int(num_chains)),
         num_samples=kwargs.get("num_samples"),
         warmup_steps=kwargs.get("warmup_steps"))
     thinning = int(kwargs.get("thinning") or 2)

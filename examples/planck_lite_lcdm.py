@@ -26,7 +26,7 @@ def main():
     yaml_path = os.path.join(os.path.dirname(__file__), "cosmo_input",
                              "LCDM_lite.yaml")
     bobe = BOBE(
-        loglikelihood=open(yaml_path).read(),
+        loglikelihood=yaml_path,  # YAML path, text, or info dict all work
         likelihood_name="planck_lite_lcdm",
         n_sobol_init=32,
         n_cobaya_init=8,

@@ -17,7 +17,16 @@ Modes:
          points on one rank. Asserts correctness + near-ideal wall time.
   bobe — a full 2-iteration BOBE EI loop through the pool (the orchestrator
          split-brain: workers block in worker_loop inside BOBE.__init__).
+  wipstd — the flagship deployment shape: a WIPStd iteration (WIP sweep +
+         ensemble refresh + NS) under the real process group WITH >=2 virtual
+         devices per process. Exercises the device-mesh math path while
+         worker ranks sit in worker_loop: production_mesh() must restrict to
+         the process-local devices (a global-device mesh would dispatch
+         single-controller work onto devices whose owning processes are not
+         participating — hang). Asserts completion, logZ vs analytic truth,
+         and parity with an in-process serial-pool rerun.
 """
+import os
 import sys
 import time
 
@@ -45,6 +54,10 @@ BOUNDS = np.array([[0.0, 1.0], [0.0, 1.0]]).T
 def main():
     mode, rank, size, port = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                               sys.argv[4])
+    if mode == "wipstd":
+        # >=2 addressable devices per process, BEFORE the backend initializes
+        os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                                   + os.environ.get("XLA_FLAGS", ""))
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -132,6 +145,52 @@ def main():
                 print(f"BOBE_DIST_OK best={res['best_val']:.4f}", flush=True)
             else:
                 # workers already served + exited inside BOBE.__init__
+                print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
+        return
+
+    if mode == "wipstd":
+        import tempfile
+
+        from bobe_tpu.bo import BOBE
+        from bobe_tpu.models import toys
+        from bobe_tpu.parallel.mesh import production_mesh
+        from bobe_tpu.parallel.pool import DistributedPool
+
+        assert jax.local_device_count() == 2, jax.local_devices()
+        assert jax.device_count() == 2 * size, jax.devices()
+        loglike, bounds, logz_true = toys.make_gaussian(2, sigma=0.15)
+        run_kwargs = dict(acq="wipstd", min_evals=16, max_evals=40,
+                          batch_size=2 * size, max_gp_size=64,
+                          logz_threshold=0.08, convergence_n_iters=2,
+                          fit_n_points=8, ns_n_points=4, mc_points_size=64)
+        with tempfile.TemporaryDirectory() as tmp:
+            bobe = BOBE(loglikelihood=loglike, param_list=["a", "b"],
+                        param_bounds=bounds, n_cobaya_init=0, n_sobol_init=16,
+                        save_dir=tmp, save=False, seed=3, verbosity="WARNING",
+                        pool=DistributedPool())
+            if rank == 0:
+                mesh = production_mesh()
+                assert mesh is not None and mesh.size == 2, (
+                    "production mesh must cover exactly the process-LOCAL "
+                    f"devices under a multi-process group, got {mesh}")
+                res = bobe.run(**run_kwargs)
+                logz = res["logz"]["mean"]
+                assert np.isfinite(logz), res["logz"]
+                assert abs(logz - logz_true) < 0.5, (logz, logz_true)
+                # parity leg: identical seed + batch size through a serial
+                # pool must reproduce the distributed run (the pool only
+                # farms out deterministic likelihood evaluations)
+                serial = BOBE(loglikelihood=loglike, param_list=["a", "b"],
+                              param_bounds=bounds, n_cobaya_init=0,
+                              n_sobol_init=16, save_dir=tmp, save=False,
+                              seed=3, verbosity="WARNING", pool="serial")
+                res_s = serial.run(**run_kwargs)
+                dz = abs(logz - res_s["logz"]["mean"])
+                assert dz < 1e-3, (logz, res_s["logz"]["mean"])
+                print(f"WIPSTD_DIST_OK logz={logz:.4f} true={logz_true:.4f} "
+                      f"serial_delta={dz:.2e}", flush=True)
+            else:
+                # workers served + exited inside BOBE.__init__
                 print(f"WORKER_CLEAN_EXIT_{rank}", flush=True)
         return
 

@@ -159,6 +159,86 @@ def test_bobe_e2e_run_through_fake_cobaya(fake_cobaya, tmp_path, monkeypatch):
     assert res["logz"]["mean"] == pytest.approx(truth, abs=0.5)
 
 
+def test_cobaya_accepts_yaml_file_path(fake_cobaya, tmp_path, monkeypatch):
+    """A YAML file PATH must be read and parsed as YAML text — the
+    reference's advertised usage (examples/Planck_lite_LCDM.py:23-24). A
+    path handed straight to yaml_load parses as a bare string and fails with
+    a confusing schema error."""
+    import sys as _sys
+
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    seen = []
+    _sys.modules["cobaya.yaml"].yaml_load = (
+        lambda s: (seen.append(s), {"fake": True})[1])
+    yaml_file = tmp_path / "model.yaml"
+    yaml_file.write_text("likelihood: {toy: null}\n")
+
+    lk = CobayaLikelihood(str(yaml_file))
+    assert lk.param_list == ["a", "b"]
+    assert seen == ["likelihood: {toy: null}\n"], (
+        "yaml_load must receive the file CONTENT, not the path")
+
+    # YAML text (no such file) still goes to yaml_load verbatim
+    seen.clear()
+    CobayaLikelihood("likelihood: {inline: null}")
+    assert seen == ["likelihood: {inline: null}"]
+
+
+def test_cobaya_model_info_recorded_schema_contract(fake_cobaya, monkeypatch):
+    """Contract test against a RECORDED real-cobaya model surface
+    (tests/data/cobaya_lcdm_lite_surface.json, captured from the cobaya
+    Model API for examples/cosmo_input/LCDM_lite.yaml). Replays the recorded
+    sampled-params order, (d, 2) bounds orientation, and all-params labels
+    dict through the adapter so API-expectation drift is caught without
+    cobaya installed (reference surface: likelihood.py:155-166)."""
+    import json
+    import os
+    import sys as _sys
+
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    rec = json.load(open(os.path.join(os.path.dirname(__file__), "data",
+                                      "cobaya_lcdm_lite_surface.json")))
+
+    class _RecParam:
+        def sampled_params(self):
+            # cobaya returns an ordered name->info mapping
+            return {k: None for k in rec["sampled_params"]}
+
+        def labels(self):
+            return dict(rec["labels"])
+
+    class _RecPrior:
+        def bounds(self, confidence_for_unbounded=1.0):
+            return np.asarray(rec["bounds"])  # (d, 2), sampled order
+
+    class _RecModel(_FakeModel):
+        parameterization = _RecParam()
+        prior = _RecPrior()
+
+        def logpost(self, x, make_finite=False):
+            assert np.shape(x) == (len(rec["sampled_params"]),)
+            return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    _sys.modules["cobaya.model"].get_model = lambda info: _RecModel()
+
+    lk = CobayaLikelihood({"likelihood": {}}, name="lcdm_lite")
+    assert lk.param_list == rec["sampled_params"]
+    assert lk.ndim == 6
+    # adapter stores bounds as (2, d): row 0 = lower, row 1 = upper
+    b = np.asarray(lk.param_bounds)
+    assert b.shape == (2, 6)
+    np.testing.assert_allclose(b.T, np.asarray(rec["bounds"]))
+    assert lk.param_labels == [rec["labels"][k] for k in rec["sampled_params"]]
+    # prior volume follows the recorded bounds
+    widths = np.diff(np.asarray(rec["bounds"]), axis=1).ravel()
+    assert lk.logprior_vol == pytest.approx(float(np.sum(np.log(widths))))
+    # evaluation takes sampled-order vectors
+    x = np.asarray([3.0, 0.96, 67.0, 0.022, 0.12, 0.05])
+    assert np.isfinite(lk(x))
+
+
 def test_cosmology_example_yamls_are_valid():
     """The shipped cosmology configs must parse as YAML with consistent
     sampled-parameter blocks (prior + ref present, fixed params scalar),

@@ -73,6 +73,23 @@ def test_bobe_ei_loop_under_real_group():
     assert "WORKER_CLEAN_EXIT_1" in out1
 
 
+def test_wipstd_device_mesh_under_real_group():
+    """The flagship deployment shape: rank 0 drives a full WIPStd iteration
+    (WIP sweep + ensemble refresh + NS) over its LOCAL 2-device mesh while
+    rank 1 serves likelihoods in worker_loop. A production_mesh() built from
+    the global device list would dispatch single-controller work onto rank
+    1's devices and hang the group (the round-3 gap: the bobe driver mode ran
+    EI only, which never consults the mesh). Also asserts logZ parity with an
+    in-process serial-pool rerun."""
+    outs = _launch_group("wipstd", 2, timeout=900)
+    rc0, out0, err0 = outs[0]
+    assert rc0 == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert "WIPSTD_DIST_OK" in out0
+    rc1, out1, err1 = outs[1]
+    assert rc1 == 0, f"rank1 failed:\n{err1[-3000:]}"
+    assert "WORKER_CLEAN_EXIT_1" in out1
+
+
 def test_server_failure_falls_back_to_static_sharding():
     """A rank-0 task-queue server failure must downgrade the whole group to
     static sharding (the advertised fallback), not deadlock the broadcast /

@@ -293,3 +293,43 @@ def test_ns_sharded_stays_calibrated():
     assert res.success
     lz = float(logsumexp(integrals.logwt_from(res.dead_logl, res.logvol)))
     assert abs(lz - 0.0) < 0.15  # truth: fully contained unit-cube Gaussian
+
+
+def test_final_nuts_chains_align_to_mesh(monkeypatch):
+    """The default 4-chain final-samples NUTS must auto-raise its chain count
+    to the mesh multiple so it actually uses an 8-device mesh (round-3 gap:
+    _maybe_shard_chains silently skipped non-divisible layouts and the final
+    NUTS ran on ONE device; the reference dispatched chains across devices
+    including the devices >= chains case, samplers.py:304-349). Also checks
+    statistical parity of the aligned run vs the mesh-disabled 4-chain run."""
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.parallel import mesh as pmesh
+    from bobe_tpu.samplers import _mesh_aligned_chains, sample_gp_nuts
+
+    assert pmesh.production_mesh() is not None
+    assert _mesh_aligned_chains(4) == 8
+    assert _mesh_aligned_chains(8) == 8
+    assert _mesh_aligned_chains(9) == 16
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(size=(60, 2))
+    y = -0.5 * np.sum(((x - 0.5) / 0.15) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    gp.fit(n_restarts=2, maxiter=80, rng=rng)
+
+    out_m = sample_gp_nuts(gp, np_rng=np.random.default_rng(0),
+                           rng_key=jax.random.PRNGKey(5), num_chains=4,
+                           warmup_steps=128, num_samples=256)
+    # the aligned run really ran 8 chains (8 x 256/thinning samples)
+    assert out_m["warm_state"]["num_chains"] == 8
+    assert out_m["x"].shape[0] == 8 * (256 // 4)
+
+    monkeypatch.setenv("BOBE_TPU_NO_MESH", "1")
+    out_u = sample_gp_nuts(gp, np_rng=np.random.default_rng(0),
+                           rng_key=jax.random.PRNGKey(5), num_chains=4,
+                           warmup_steps=128, num_samples=256)
+    assert out_u["warm_state"]["num_chains"] == 4
+    np.testing.assert_allclose(out_m["x"].mean(0), out_u["x"].mean(0),
+                               atol=0.05)
+    np.testing.assert_allclose(out_m["x"].std(0), out_u["x"].std(0),
+                               atol=0.05)

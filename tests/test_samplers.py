@@ -147,10 +147,13 @@ def test_nuts_warm_start_reuses_kernel(gp_gaussian):
     adapted kernel) must sample the same posterior as a cold run."""
     from bobe_tpu.samplers import sample_gp_nuts
 
+    from bobe_tpu.samplers import _mesh_aligned_chains
+
     cold = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(0),
                           num_samples=512, warmup_steps=256)
     ws = cold["warm_state"]
-    assert ws["mass_inv"].shape == (4, 2, 2) and ws["last_z"].shape == (4, 2)
+    nc = _mesh_aligned_chains(4)  # default 4 chains align to the test mesh
+    assert ws["mass_inv"].shape == (nc, 2, 2) and ws["last_z"].shape == (nc, 2)
     warm = sample_gp_nuts(gp_gaussian, np_rng=np.random.default_rng(1),
                           num_samples=512, warmup_steps=256, warm_state=ws)
     assert warm["x"].shape == cold["x"].shape
