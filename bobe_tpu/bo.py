@@ -655,15 +655,20 @@ class BOBE:
         self.current_iteration = ii
 
     def _ns_boost(self, dlogz_s: float, lo: int) -> int:
-        """nlive multiplier that brings the NS sampler noise down to the logz
-        threshold: noise scales ~ 1/sqrt(nlive), so the factor is the squared
-        noise/threshold ratio. Clipped to [lo, 8] (8 bounds the final pass at
-        ~8x the base NS cost); an unknown noise level (dlogz_s <= 0) gets a
-        conservative 2x. Shared by the post-convergence final-precision pass
-        and the budget-capped do_final_ns exit so the two cannot drift."""
+        """nlive multiplier that brings the NS sampler noise down to HALF the
+        logz threshold: noise scales ~ 1/sqrt(nlive), so the factor is the
+        squared noise/target ratio. Targeting the full threshold left the
+        reported evidence one sampler-sigma wide at exactly the tolerance —
+        across seeds, |dlogZ| then reaches ~2.5x the threshold (measured
+        round 4, d=30 schedule campaign: nlive=4800 single-run maxabs 0.122
+        vs 0.058 with 3 merged runs). Clipped to [lo, 8] (8 bounds the final
+        pass at ~8x the base NS cost); an unknown noise level (dlogz_s <= 0)
+        gets a conservative 2x. Shared by the post-convergence
+        final-precision pass and the budget-capped do_final_ns exit so the
+        two cannot drift."""
         if dlogz_s <= 0:
             return 2
-        return int(np.clip(np.ceil((dlogz_s / self.logz_threshold) ** 2),
+        return int(np.clip(np.ceil((2.0 * dlogz_s / self.logz_threshold) ** 2),
                            lo, 8))
 
     def _refresh_mc_samples(self, np_rng=None, rng_key=None,

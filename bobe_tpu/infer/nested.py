@@ -87,13 +87,34 @@ def _chord_bounds(x, e):
     return lo, hi
 
 
+def _spec_candidates(u, lo, hi, spec):
+    """Speculative shrink chain: the ``spec`` candidate positions a lane's
+    slice loop would draw if every previous candidate were rejected.
+
+    The bracket transition on rejection depends only on the SIGN of the
+    rejected t (shrink toward 0), never on the likelihood value — so the
+    whole chain t_1..t_S is computable from the uniforms up front, and all S
+    candidates evaluate in ONE batched GP call instead of S sequential
+    latency-priced loop iterations. u: (spec, n); lo/hi: (n,). Returns
+    (ts (n, spec), lo_end, hi_end) where lo_end/hi_end is the bracket after
+    all S speculative rejections.
+    """
+    ts = []
+    for s in range(spec):
+        t = lo + (hi - lo) * u[s]
+        ts.append(t)
+        lo = jnp.where(t < 0, t, lo)
+        hi = jnp.where(t >= 0, t, hi)
+    return jnp.stack(ts, axis=1), lo, hi
+
+
 @partial(jax.jit, static_argnames=("loglike_apply", "nlive", "kill_k",
                                    "max_dead", "n_repeats", "max_shrink", "d",
-                                   "mesh"))
+                                   "mesh", "spec"))
 def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
              nlive: int, kill_k: int, max_dead: int, n_repeats: int,
              max_shrink: int, d: int, dlogz: float, maxcall: int, mesh=None,
-             carry0=None):
+             carry0=None, spec: int = 1):
     """The jitted NS main loop. Returns the full loop carry (see ``init``).
 
     ``loglike_apply(ctx, x)`` evaluates the batched log-likelihood; ``ctx`` is
@@ -150,8 +171,16 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
             it, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur = c
             key, k_t, k_e = random.split(key, 3)
             active = rep < n_repeats
-            t = lo + (hi - lo) * random.uniform(k_t, (K,), dtype=dt)
-            x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
+            # ``spec`` speculative shrink candidates per lane in ONE batched
+            # GP call (see _spec_candidates): the sequential depth per accept
+            # drops from E[shrinks-to-accept] loop iterations to ~1, and the
+            # extra rows are ~free (the (K, cap) GP eval at these shapes is
+            # latency-bound, not compute-bound — measured batch-insensitive
+            # 64 vs 512 rows on the v5e).
+            u = random.uniform(k_t, (spec, K), dtype=dt)
+            ts, lo_end, hi_end = _spec_candidates(u, lo, hi, spec)
+            x_try = jnp.clip(x_cur[:, None, :] + ts[..., None] * e[:, None, :],
+                             0.0, 1.0).reshape(K * spec, d)
             if mesh is not None:
                 # multi-chip: the proposal batch (the hot GP-mean eval)
                 # is sharded over the mesh; the GP state is replicated
@@ -159,20 +188,33 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
 
                 x_try = jax.lax.with_sharding_constraint(
                     x_try, batch_sharded(mesh))
-            l_try = loglike_fn(x_try)
-            # exact eval accounting: only lanes still inside their repeat
-            # budget consume a surrogate call this round (dynesty-equivalent
-            # ncall semantics; the batched evaluation itself is one fused
-            # device op either way)
-            nev = nev + jnp.sum(active).astype(nev.dtype)
-            ok = (l_try > lstar) & active
-            x_cur = jnp.where(ok[:, None], x_try, x_cur)
-            l_cur = jnp.where(ok, l_try, l_cur)
-            # shrink the bracket toward 0 for rejected active lanes
-            nok = active & ~ok
-            lo = jnp.where(nok & (t < 0), t, lo)
-            hi = jnp.where(nok & (t >= 0), t, hi)
-            shrink = jnp.where(nok, shrink + 1, shrink)
+            l_try = loglike_fn(x_try).reshape(K, spec)
+            # candidate s is reachable by the sequential algorithm only while
+            # the shrink budget lasts (draw s happens after s rejections)
+            reachable = shrink[:, None] + jnp.arange(spec)[None, :] < max_shrink
+            acc = (l_try > lstar) & reachable
+            any_acc = jnp.any(acc, axis=1)
+            first = jnp.argmax(acc, axis=1)
+            ok = any_acc & active
+            # exact eval accounting (dynesty-equivalent ncall semantics):
+            # lanes logically consume draws up to acceptance, or all
+            # reachable draws on full rejection — regardless of the fused
+            # physical batch size
+            n_reach = jnp.clip(max_shrink - shrink, 0, spec)
+            used = jnp.where(any_acc, first + 1, n_reach)
+            nev = nev + jnp.sum(jnp.where(active, used, 0)).astype(nev.dtype)
+            x_acc = jnp.take_along_axis(x_try.reshape(K, spec, d),
+                                        first[:, None, None], axis=1)[:, 0]
+            l_acc = jnp.take_along_axis(l_try, first[:, None], axis=1)[:, 0]
+            x_cur = jnp.where(ok[:, None], x_acc, x_cur)
+            l_cur = jnp.where(ok, l_acc, l_cur)
+            # full rejection: the bracket shrinks through all speculative
+            # rejections (over-shrink past the budget is harmless — those
+            # lanes complete below and reset their bracket)
+            nok = active & ~any_acc
+            lo = jnp.where(nok, lo_end, lo)
+            hi = jnp.where(nok, hi_end, hi)
+            shrink = jnp.where(nok, shrink + n_reach, shrink)
             # a repeat completes on acceptance or on exhausting max_shrink
             # (exhausted lanes keep their current point, as before)
             complete = ok | (nok & (shrink >= max_shrink))
@@ -261,7 +303,7 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                max_shrink: int = 40, max_dead: int | None = None,
                live_x=None, live_logl=None, rng=None,
                logvol0: float = 0.0, mesh=None,
-               warn_truncation: bool = True) -> NSResult:
+               warn_truncation: bool = True, spec: int | None = None) -> NSResult:
     """Run nested sampling; ``loglike_apply(ctx, x)`` maps (m, d) -> (m,).
 
     ``loglike_apply`` must be a stable (cacheable) function and ``ctx`` the
@@ -291,6 +333,19 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
     K = max(1, int(round(nlive * kill_frac)))
     if n_repeats is None:
         n_repeats = max(3, int(math.ceil(1.5 * d)))
+    if spec is None:
+        # speculative slice-shrink depth (see _spec_candidates): the
+        # sequential while_loop depth divides by ~E[shrinks-to-accept] while
+        # the batched GP eval grows K -> K*spec rows. Measured on the v5e
+        # (GP cap 1024, convergence mode): d=15 5.90 -> 4.18 s (spec 1 -> 4),
+        # d=8 1.19 -> 1.54 s — the win scales with the n_repeats = 3d
+        # sequential depth, so speculation turns on where that depth rule
+        # does (d >= 10). Override with BOBE_TPU_NS_SPEC.
+        import os as _os2
+
+        env = _os2.environ.get("BOBE_TPU_NS_SPEC")
+        spec = int(env) if env else (4 if d >= 10 else 1)
+    spec = max(1, int(spec))
     if max_dead is None:
         # converged runs need ~nlive * (H + ln nlive) deaths; the nlive * 80
         # headroom covers H + ln nlive ~ 80, and the clamp must scale with
@@ -329,7 +384,7 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
             loglike_apply, ctx, live_x, live_logl, key,
             jnp.asarray(float(logvol0), dt), nlive, K, max_dead,
             int(n_repeats), int(max_shrink), d, float(dlogz), int(budget),
-            mesh, carry0=carry)
+            mesh, carry0=carry, spec=spec)
         # segment bookkeeping: a handful of scalars only; buffers stay on
         # device until the final bundled fetch below
         n_dead_d, logvol_d, logz_d, calls_d, lmax_d = jax.device_get(
@@ -403,9 +458,10 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                     int(n_iter), nlive, success, schedule, float(logvol0))
 
 
-@partial(jax.jit, static_argnames=("loglike_apply", "n_repeats", "max_shrink"))
+@partial(jax.jit, static_argnames=("loglike_apply", "n_repeats", "max_shrink",
+                                   "spec"))
 def _decorrelate(loglike_apply, ctx, x0, l0, lstar, key,
-                 n_repeats: int, max_shrink: int):
+                 n_repeats: int, max_shrink: int, spec: int = 4):
     """Constrained slice-sampling rounds on ALL points (uniformizes within
     {logl > lstar}). Used to turn volume-weighted resamples of existing dead
     points into fresh draws before a dynamic refinement batch — duplicated
@@ -433,17 +489,30 @@ def _decorrelate(loglike_apply, ctx, x0, l0, lstar, key,
         it, nev, key, rep, shrink, e, lo, hi, x_cur, l_cur = c
         key, k_t, k_e = random.split(key, 3)
         active = rep < n_repeats
-        t = lo + (hi - lo) * random.uniform(k_t, (n,), dtype=dt)
-        x_try = jnp.clip(x_cur + t[:, None] * e, 0.0, 1.0)
-        l_try = loglike_fn(x_try)
-        nev = nev + jnp.sum(active).astype(nev.dtype)
-        ok = (l_try > lstar) & active
-        x_cur = jnp.where(ok[:, None], x_try, x_cur)
-        l_cur = jnp.where(ok, l_try, l_cur)
-        nok = active & ~ok
-        lo = jnp.where(nok & (t < 0), t, lo)
-        hi = jnp.where(nok & (t >= 0), t, hi)
-        shrink = jnp.where(nok, shrink + 1, shrink)
+        # speculative shrink chain, same construction as _ns_loop's
+        # replace_batch (see _spec_candidates)
+        u = random.uniform(k_t, (spec, n), dtype=dt)
+        ts, lo_end, hi_end = _spec_candidates(u, lo, hi, spec)
+        x_try = jnp.clip(x_cur[:, None, :] + ts[..., None] * e[:, None, :],
+                         0.0, 1.0).reshape(n * spec, d)
+        l_try = loglike_fn(x_try).reshape(n, spec)
+        reachable = shrink[:, None] + jnp.arange(spec)[None, :] < max_shrink
+        acc = (l_try > lstar) & reachable
+        any_acc = jnp.any(acc, axis=1)
+        first = jnp.argmax(acc, axis=1)
+        ok = any_acc & active
+        n_reach = jnp.clip(max_shrink - shrink, 0, spec)
+        used = jnp.where(any_acc, first + 1, n_reach)
+        nev = nev + jnp.sum(jnp.where(active, used, 0)).astype(nev.dtype)
+        x_acc = jnp.take_along_axis(x_try.reshape(n, spec, d),
+                                    first[:, None, None], axis=1)[:, 0]
+        l_acc = jnp.take_along_axis(l_try, first[:, None], axis=1)[:, 0]
+        x_cur = jnp.where(ok[:, None], x_acc, x_cur)
+        l_cur = jnp.where(ok, l_acc, l_cur)
+        nok = active & ~any_acc
+        lo = jnp.where(nok, lo_end, lo)
+        hi = jnp.where(nok, hi_end, hi)
+        shrink = jnp.where(nok, shrink + n_reach, shrink)
         complete = ok | (nok & (shrink >= max_shrink))
         rep = rep + complete.astype(rep.dtype)
         e_new = draw_dirs(k_e, _live_cov_chol(x_cur))
@@ -588,7 +657,8 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     # duplicates of base deaths, the worst case for residual correlation
     n_rep = ns_kwargs.get("n_repeats") or max(3, int(math.ceil(1.5 * d)))
     bx, bl, dec_calls = _decorrelate(loglike_apply, ctx, bx, bl,
-                                     jnp.asarray(l_lo), k_dec, int(n_rep), 40)
+                                     jnp.asarray(l_lo), k_dec, int(n_rep), 40,
+                                     spec=4 if d >= 10 else 1)
 
     batch = run_nested(loglike_apply, ctx, d, k_batch, nlive=nlive_batch,
                        dlogz=dlogz, maxcall=maxcall, live_x=bx, live_logl=bl,

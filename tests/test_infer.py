@@ -183,9 +183,10 @@ def test_dynamic_decorrelation_honors_n_repeats(monkeypatch):
     seen = []
     orig = nested_mod._decorrelate
 
-    def spy(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink):
+    def spy(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink, **kw):
         seen.append(n_repeats)
-        return orig(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink)
+        return orig(apply, ctx, x0, l0, lstar, key, n_repeats, max_shrink,
+                    **kw)
 
     monkeypatch.setattr(nested_mod, "_decorrelate", spy)
     apply = gaussian_loglike_apply(np.full(2, 0.5), 0.1)

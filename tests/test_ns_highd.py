@@ -65,7 +65,7 @@ def test_ns_30d_gaussian_unbiased():
     d = 30
     _, _, logz_true = toys.make_gaussian(d, sigma=0.12)
     apply_fn = _gauss_apply(d)
-    errs = []
+    errs, raws = [], []
     for seed in range(5):
         res = run_nested(apply_fn, None, d, jax.random.PRNGKey(seed),
                          nlive=1200, dlogz=0.01, maxcall=int(2e7),
@@ -73,6 +73,18 @@ def test_ns_30d_gaussian_unbiased():
         assert res.success
         errs.append(float(trapezoid_logz(res.dead_logl, res.logvol)[-1])
                     - logz_true)
+        raws.append((res.dead_x, res.dead_logl,
+                     np.asarray(res.nlive_schedule, float), -np.inf))
     mean = float(np.mean(errs))
     assert abs(mean) < 0.12, f"NS d=30 bias regressed: mean={mean} errs={errs}"
     assert max(abs(e) for e in errs) < 0.35, errs
+    # run-merging is the production margin lever (round-4 TPU campaign:
+    # nlive=4800 single-run 5-seed maxabs 0.122 -> 0.058 with 3 merged runs;
+    # bo.py._ns_boost targets threshold/2 on this basis). Merging these five
+    # independent runs must tighten the error by ~sqrt(5): effective
+    # nlive=6000 -> sigma ~ 0.06, so the merged error stays within ~2.5 sigma.
+    from bobe_tpu.infer.nested import merge_runs
+
+    _, logls, logvol, _ = merge_runs(raws)
+    err_m = float(trapezoid_logz(logls, logvol)[-1]) - logz_true
+    assert abs(err_m) < 0.15, (err_m, errs)

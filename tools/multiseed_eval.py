@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 # match the examples' fit policy (cheap analytic toys -> f32+polish path)
 os.environ.setdefault("BOBE_TPU_F64_FIT_MAX_CAP", "0")
 
@@ -54,6 +56,28 @@ def run_himmelblau(seed: int) -> dict:
                     mc_points_size=256)
 
 
+def run_planck(seed: int) -> dict:
+    """The planck-like synthetic configuration (examples/
+    planck_like_synthetic.py) with analytic truth; returns the results dict
+    extended with the truth so the caller can score coverage."""
+    from bobe_tpu import BOBE
+    from bobe_tpu.models.toys import make_planck_like, planck_like_ref_draws
+
+    loglike, bounds, names, logz_true = make_planck_like()
+    rng = np.random.default_rng(seed)
+    ref_x, ref_y = planck_like_ref_draws(loglike, bounds, 8, rng)
+    bobe = BOBE(loglikelihood=loglike, param_list=names, param_bounds=bounds,
+                n_sobol_init=48, n_cobaya_init=0, init_train_x=ref_x,
+                init_train_y=ref_y, use_clf=True, clf_type="svm", seed=seed,
+                save=False, verbosity="WARNING")
+    res = bobe.run(acq="wipstd", min_evals=120, max_evals=500,
+                   max_gp_size=600, logz_threshold=0.05, fit_n_points=8,
+                   batch_size=4, ns_n_points=12, convergence_n_iters=2,
+                   do_final_ns=True)
+    res["logz_true"] = logz_true
+    return res
+
+
 def main():
     problems = [a for a in sys.argv[1:] if not a.startswith("--")]
     problems = problems or ["both"]
@@ -61,7 +85,8 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--seeds"):
             seeds = [int(s) for s in a.split("=", 1)[1].split(",")]
-    runner = {"banana": run_banana, "himmelblau": run_himmelblau}
+    runner = {"banana": run_banana, "himmelblau": run_himmelblau,
+              "planck": run_planck}
     todo = ["banana", "himmelblau"] if problems[0] == "both" else problems
     out = {}
     for prob in todo:
@@ -75,11 +100,27 @@ def main():
             except Exception as e:  # record, keep going
                 rows.append({"seed": seed, "error": repr(e)})
                 continue
-            rows.append({"seed": seed, "logz": round(logz, 4),
-                         "abs_dlogz": round(abs(logz - TRUTH[prob]), 4),
-                         "evals": n, "wall_s": round(time.time() - t0, 1)})
+            truth = float(res.get("logz_true", TRUTH.get(prob, np.nan)))
+            row = {"seed": seed, "logz": round(logz, 4),
+                   "abs_dlogz": round(abs(logz - truth), 4),
+                   "evals": n, "wall_s": round(time.time() - t0, 1)}
+            lz = res["logz"]
+            if "upper" in lz and "lower" in lz:
+                # the delta the convergence rule reports: half the GP-sigma
+                # bound width (+ sampler noise via dlogz_sampler) — coverage
+                # of |dlogZ| <= delta validates the LOO sigma calibration
+                delta = 0.5 * (float(lz["upper"]) - float(lz["lower"]))
+                row["delta_reported"] = round(delta, 4)
+                row["dlogz_sampler"] = round(float(lz.get("dlogz_sampler",
+                                                          np.nan)), 4)
+                row["covered"] = bool(row["abs_dlogz"] <= delta)
+            rows.append(row)
             print(json.dumps({prob: rows[-1]}), flush=True)
         out[prob] = rows
+        covered = [r.get("covered") for r in rows if "covered" in r]
+        if covered:
+            out[prob + "_coverage"] = round(
+                float(np.mean([1.0 if c else 0.0 for c in covered])), 3)
     print(json.dumps(out, indent=1))
 
 
