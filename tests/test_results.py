@@ -108,3 +108,56 @@ def test_load_results(tmp_path):
     payload = BOBEResults.load_results(os.path.join(str(tmp_path), "testrun"))
     assert payload["state"]["termination_reason"] == "budget"
     assert payload["samples"].shape == (3, 2)
+
+
+def test_chain_files_match_recorded_golden(tmp_path):
+    """Byte-level golden for the GetDist text-chain format (getdist is not
+    installed here, so the on-disk convention — '<w> <-logL> <params...>'
+    rows, 'name<TAB>label' paramnames, 'name<TAB>lo<TAB>hi' ranges — is
+    pinned by recorded files instead of a live round-trip; reference writer:
+    BOBE/utils/results.py:682)."""
+    rm = make_rm(tmp_path)
+    samples = {"x": np.array([[0.25, 0.75], [0.5, 1.0]]),
+               "weights": np.array([1.0, 0.5]),
+               "logl": np.array([-2.5, -3.0])}
+    rm.save_chain_files(samples, filename="golden")
+    gold = os.path.join(os.path.dirname(__file__), "data")
+    base = os.path.join(str(tmp_path), "golden")
+    for sfx in (".txt", ".paramnames", ".ranges"):
+        got = open(base + sfx).read()
+        want = open(os.path.join(gold, "chain_golden" + sfx)).read()
+        assert got == want, f"chain file format drift in {sfx}"
+
+
+def test_get_mcsamples_contract_with_fake_getdist(tmp_path, monkeypatch):
+    """Pin the kwargs get_mcsamples hands to getdist.MCSamples (loglikes is
+    the POSITIVE -lnL, ranges is {name: [lo, hi]}) via an injected fake —
+    getdist itself is absent in this environment."""
+    import sys
+    import types
+
+    rm = make_rm(tmp_path)
+    rm.final_samples = np.array([[0.1, 0.2], [0.3, 0.4]])
+    rm.final_weights = np.array([1.0, 2.0])
+    rm.final_loglikes = np.array([-1.5, -2.5])
+
+    seen = {}
+
+    def fake_mcsamples(**kw):
+        seen.update(kw)
+        return "MCS"
+
+    fake = types.ModuleType("getdist")
+    fake.MCSamples = fake_mcsamples
+    monkeypatch.setitem(sys.modules, "getdist", fake)
+
+    out = rm.get_mcsamples()
+    assert out == "MCS"
+    np.testing.assert_allclose(seen["loglikes"], [1.5, 2.5])  # positive -lnL
+    np.testing.assert_allclose(seen["samples"], rm.final_samples)
+    np.testing.assert_allclose(seen["weights"], [1.0, 2.0])
+    assert seen["names"] == rm.param_names
+    assert seen["labels"] == rm.param_labels
+    assert set(seen["ranges"]) == set(rm.param_names)
+    lo, hi = seen["ranges"][rm.param_names[0]]
+    assert lo == rm.param_bounds[0, 0] and hi == rm.param_bounds[1, 0]
