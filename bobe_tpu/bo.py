@@ -665,11 +665,20 @@ class BOBE:
         pass at ~8x the base NS cost); an unknown noise level (dlogz_s <= 0)
         gets a conservative 2x. Shared by the post-convergence
         final-precision pass and the budget-capped do_final_ns exit so the
-        two cannot drift."""
+        two cannot drift.
+
+        The cap (default 16, BOBE_TPU_NS_BOOST_CAP) bounds the final pass at
+        ~16x one base NS run. Steady-state convergence NS is ~1-5 s on a
+        quiet v5e (BENCH_NOTES round 4), so the cap only matters on badly
+        congested hosts; the round-3 cap of 8 bound exactly where it hurt —
+        the d=6 planck-like noise floor needs ~2 * 8 runs to reach
+        threshold/2 (measured dlogz_sampler 0.052 vs the 0.025 target at
+        cap 8)."""
         if dlogz_s <= 0:
             return 2
+        cap = int(os.environ.get("BOBE_TPU_NS_BOOST_CAP", "16"))
         return int(np.clip(np.ceil((2.0 * dlogz_s / self.logz_threshold) ** 2),
-                           lo, 8))
+                           lo, max(lo, cap)))
 
     def _refresh_mc_samples(self, np_rng=None, rng_key=None,
                             phase: str = "MCMC Sampling"):
@@ -756,7 +765,7 @@ class BOBE:
         self._refresh_mc_samples()
         self.ns_samples = None
         ns_success = False
-        logz_keys = ["mean", "upper", "lower", "dlogz_sampler"]
+        logz_keys = ["mean", "upper", "lower", "dlogz_sampler", "err_total"]
 
         while not self.converged:
             ii += 1

@@ -325,6 +325,15 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     logz_dict["std"] = float(2.0 * np.sqrt(logz_dict["var"]))
     logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
+    # the honest user-facing error bar: GP-surrogate uncertainty (half the
+    # re-integrated logl +/- sigma bound width — what the convergence rule
+    # thresholds) and NS sampler noise are INDEPENDENT error sources, and at
+    # converged-GP scales the sampler term dominates (round-4 10-seed
+    # planck-like campaign: GP delta ~0.03, sampler 0.052; |dlogZ| covered
+    # 9/10 by the quadrature sum but only 4/10 by the GP delta alone)
+    logz_dict["err_total"] = float(np.sqrt(
+        (0.5 * (logz_dict["upper"] - logz_dict["lower"])) ** 2
+        + logz_dict["dlogz_sampler"] ** 2))
 
     logwt = integrals.logwt_from(dead_logl, logvol_arr, lv_start=logvol0)
     weights = renormalise_log_weights(logwt)

@@ -116,21 +116,28 @@ def main():
                    "evals": n, "wall_s": round(time.time() - t0, 1)}
             lz = res["logz"]
             if "upper" in lz and "lower" in lz:
-                # the delta the convergence rule reports: half the GP-sigma
-                # bound width (+ sampler noise via dlogz_sampler) — coverage
-                # of |dlogZ| <= delta validates the LOO sigma calibration
+                # the delta the convergence rule uses: half the GP-sigma
+                # bound width — coverage of |dlogZ| <= delta validates the
+                # LOO sigma calibration of the GP bound alone; the total
+                # reported uncertainty adds the NS sampler noise
+                # (dlogz_sampler) in quadrature, which is what a user should
+                # read as the evidence error bar
                 delta = 0.5 * (float(lz["upper"]) - float(lz["lower"]))
+                dls = float(lz.get("dlogz_sampler", np.nan))
                 row["delta_reported"] = round(delta, 4)
-                row["dlogz_sampler"] = round(float(lz.get("dlogz_sampler",
-                                                          np.nan)), 4)
+                row["dlogz_sampler"] = round(dls, 4)
                 row["covered"] = bool(row["abs_dlogz"] <= delta)
+                total = float(np.sqrt(delta**2 + (dls if np.isfinite(dls)
+                                                  else 0.0)**2))
+                row["covered_total"] = bool(row["abs_dlogz"] <= total)
             rows.append(row)
             print(json.dumps({prob: rows[-1]}), flush=True)
         out[prob] = rows
-        covered = [r.get("covered") for r in rows if "covered" in r]
-        if covered:
-            out[prob + "_coverage"] = round(
-                float(np.mean([1.0 if c else 0.0 for c in covered])), 3)
+        for key in ("covered", "covered_total"):
+            vals = [r.get(key) for r in rows if key in r]
+            if vals:
+                out[f"{prob}_{key}_coverage"] = round(
+                    float(np.mean([1.0 if c else 0.0 for c in vals])), 3)
     print(json.dumps(out, indent=1))
 
 
