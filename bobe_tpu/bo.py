@@ -898,6 +898,34 @@ class BOBE:
             final_samples, logz_dict, final_ok = nested_sampling(
                 gp=self.gp, mode="convergence", dlogz=0.01, n_runs=boost,
                 dynamic=True, rng=self.np_rng)
+            # Adaptive top-up: when the loop never ran a convergence NS
+            # (e.g. a GP-cap exit with the acquisition still above the gate
+            # — the d=30 path), dlogz_s above is 0 and the guessed boost can
+            # leave the reported evidence sampler-noise floored. The final
+            # run MEASURES its own noise, so re-derive the needed merge
+            # count from it and top up with additional runs merged at the
+            # dead-point level (same GP state — nothing updates the GP after
+            # the final fit above).
+            if final_ok:
+                measured = float(logz_dict.get("dlogz_sampler", 0.0))
+                # noise after b1 runs is s1; reaching threshold/2 needs
+                # n_total = b1 * ceil((2*s1/thr)^2) runs in all — clamped to
+                # the same global cap as every other merge schedule
+                cap = int(os.environ.get("BOBE_TPU_NS_BOOST_CAP", "16"))
+                want = min(boost * self._ns_boost(measured, lo=1),
+                           max(boost, cap))
+                if want > boost:
+                    log.info(f"Final NS top-up: {want - boost} more runs "
+                             f"(measured sampler noise {measured:.3f} > "
+                             f"threshold/2 = {self.logz_threshold / 2:.3f})")
+                    raw = final_samples.get("raw")
+                    top_samples, top_logz, top_ok = nested_sampling(
+                        gp=self.gp, mode="convergence", dlogz=0.01,
+                        n_runs=want - boost,
+                        merge_with=[raw] if raw is not None else None,
+                        dynamic=False, rng=self.np_rng)
+                    if top_ok:
+                        final_samples, logz_dict = top_samples, top_logz
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(
                 f"{k}={logz_dict[k]:.4f}" for k in logz_keys if k in logz_dict))
