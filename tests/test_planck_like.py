@@ -66,8 +66,13 @@ def test_planck_like_clf_run_budget_capped():
     assert np.isfinite(res["logz"]["mean"])
     assert err < 0.5, (res["logz"], logz_true)
     # the reported GP bounds must be calibrated: truth inside them, widened
-    # by the sampler error (full-budget |dlogZ| <= 0.1 parity is recorded in
-    # BENCH_NOTES from examples/planck_like_synthetic.py)
+    # by the sampler error. The sampler term is load-bearing, not padding:
+    # the round-4 10-seed full-budget campaign (BENCH_NOTES) measured GP
+    # delta ~0.03 vs sampler noise ~0.05 at convergence — |dlogZ| is covered
+    # 9/10 by the quadrature total but only 4/10 by the GP delta alone,
+    # which is exactly why this gate (and the shipped err_total) must fold
+    # dlogz_sampler in. Full-budget |dlogZ| <= 0.1 parity: 10/10 seeds,
+    # max 0.087, median 0.035 (BENCH_NOTES round 4).
     pad = 2.0 * res["logz"].get("dlogz_sampler", 0.0) + 0.1
     assert res["logz"]["lower"] - pad <= logz_true <= res["logz"]["upper"] + pad, \
         (res["logz"], logz_true)
