@@ -195,3 +195,36 @@ def test_dynamic_decorrelation_honors_n_repeats(monkeypatch):
         dlogz=0.05, rng=np.random.default_rng(7), n_repeats=9)
     assert res.success
     assert seen == [9], seen
+
+
+def test_spec_candidates_match_sequential_shrinkage():
+    """The speculative shrink chain must reproduce the sequential slice
+    algorithm exactly: candidate s is what the per-draw loop would propose
+    after s rejections (the bracket transition depends only on the rejected
+    t's sign, never on the likelihood — the invariant speculation rests on),
+    and the end bracket equals the sequential end bracket."""
+    from bobe_tpu.infer.nested import _spec_candidates
+
+    rng = np.random.default_rng(0)
+    n, spec = 7, 5
+    u = jnp.asarray(rng.uniform(size=(spec, n)))
+    lo0 = jnp.asarray(-rng.uniform(0.5, 2.0, size=n))
+    hi0 = jnp.asarray(rng.uniform(0.5, 2.0, size=n))
+
+    ts, lo_end, hi_end = _spec_candidates(u, lo0, hi0, spec)
+    assert ts.shape == (n, spec)
+
+    # sequential reference: draw, assume rejection, shrink toward 0
+    lo, hi = np.asarray(lo0).copy(), np.asarray(hi0).copy()
+    for s in range(spec):
+        t = lo + (hi - lo) * np.asarray(u[s])
+        np.testing.assert_allclose(np.asarray(ts[:, s]), t, rtol=1e-12)
+        shrink_lo = t < 0
+        lo = np.where(shrink_lo, t, lo)
+        hi = np.where(~shrink_lo, t, hi)
+    np.testing.assert_allclose(np.asarray(lo_end), lo, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hi_end), hi, rtol=1e-12)
+    # every candidate stays inside the ORIGINAL bracket and the chain is
+    # nested (each candidate inside the previous candidate's bracket)
+    assert np.all(np.asarray(ts) >= np.asarray(lo0)[:, None] - 1e-15)
+    assert np.all(np.asarray(ts) <= np.asarray(hi0)[:, None] + 1e-15)
