@@ -162,6 +162,18 @@ class GPwithClassifier(GP):
         return (jnp.where(ok, mean, self.minus_inf),
                 jnp.where(ok, var, SAFE_NOISE_FLOOR))
 
+    def predict_mean_with_params(self, log_params, x):
+        # alternate-basin predictions (dlogz_hyp) must see the SAME
+        # classifier gate as the production mean: hyperparameter uncertainty
+        # should not leak probability mass into the infeasible region
+        x = jnp.atleast_2d(x)
+        mean = super().predict_mean_with_params(log_params, x)
+        p = self._gate(x)
+        if p is None:
+            return mean
+        return jnp.where(p >= self.probability_threshold, mean,
+                         self.minus_inf)
+
     # --------------------------------------------------------------- updates
 
     def update(self, new_x, new_y):
@@ -340,6 +352,9 @@ class GPwithClassifier(GP):
             predict_fn = CLASSIFIER_REGISTRY[gp.clf_type]["predict_fn"]
             gp._clf_predict = predict_fn(params, gp.clf_settings,
                                          d=gp.train_x_clf.shape[1])
+        from .gp import _restore_fit_basins
+
+        _restore_fit_basins(gp, state)
         return gp
 
     def copy(self) -> "GPwithClassifier":

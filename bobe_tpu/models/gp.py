@@ -643,6 +643,10 @@ def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
 
     The host run's state is discarded; only the winning hyperparameters
     travel back. See _host_state_and_aux for the transfer discipline.
+
+    Returns ``(best, best_f, all_x, all_f)`` — the per-restart endpoints
+    feed the basin analysis that propagates hyperparameter-fit uncertainty
+    into the evidence bounds (dlogz_hyp, samplers.py).
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -655,16 +659,19 @@ def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
             dsq = (kr.sq_dist_perdim(host_state.x) if use_dsq
                    else jnp.zeros((0,), jnp.float64))
             try:
-                best, best_f = opt_ops.minimize_scipy_restarts(
+                best, best_f, all_x, all_f = opt_ops.minimize_scipy_restarts(
                     None, np.asarray(x0_np),
                     bounds=hyperparam_bounds_log(cfg, d), maxiter=maxiter,
-                    vg=lambda lp: vg_core(host_state, dsq, lp))
+                    vg=lambda lp: vg_core(host_state, dsq, lp),
+                    return_all=True)
             except RuntimeError:
                 # every restart failed: report +inf like the lockstep path
                 # (the fit caller raises; the polish caller falls back to
                 # its pre-polish optimum)
-                return np.asarray(x0_np)[0], float("inf")
-            return np.asarray(best), float(best_f)
+                z = np.zeros((0, np.asarray(x0_np).shape[1]))
+                return np.asarray(x0_np)[0], float("inf"), z, np.zeros((0,))
+            return (np.asarray(best), float(best_f),
+                    np.asarray(all_x), np.asarray(all_f))
         x0_host = jnp.asarray(x0_np)
         # return_all: the non-return_all core also refreshes the full state
         # (an O(cap^3) Cholesky + Gram at (cap, cap)) that this host path
@@ -672,9 +679,9 @@ def _fit_f64_host(state: GPState, cfg: GPTrainConfig, d: int, maxiter: int,
         run = _fit_core(cfg, d, maxiter, optimizer, fit_dtype="float64",
                         return_all=True)
         all_log, all_f = jax.device_get(run(host_state, x0_host))
-        all_f = np.asarray(all_f)
+        all_log, all_f = np.asarray(all_log), np.asarray(all_f)
         i = int(np.argmin(np.where(np.isfinite(all_f), all_f, np.inf)))
-        return np.asarray(all_log)[i], float(all_f[i])
+        return np.asarray(all_log)[i], float(all_f[i]), all_log, all_f
 
 
 @lru_cache(maxsize=64)
@@ -755,6 +762,11 @@ def _f64_select(state: GPState, cfg: GPTrainConfig, d: int,
     the between-basin ranking needs the exact f64 rescore. In the common
     all-restarts-agree case this cuts the per-fit f64 work from R
     factorizations to one (each rescore is an O(cap^3) Cholesky).
+
+    Returns ``(best, best_f, basins)``; basins is the per-basin
+    ``[(log_params, neg_mll_f64), ...]`` sorted best-first — the raw
+    material for dlogz_hyp (hyperparameter-uncertainty propagation into
+    the evidence bounds, samplers.py).
     """
     if _route_f64_to_host():
         cpu = jax.devices("cpu")[0]
@@ -774,10 +786,14 @@ def _f64_select(state: GPState, cfg: GPTrainConfig, d: int,
     finite = np.isfinite(scores_r)
     if not finite.any():
         i = int(np.nanargmin(np.where(np.isfinite(f32_np), f32_np, np.inf)))
-        return np.asarray(cand_np[i]), float(f32_np[i])
+        return (np.asarray(cand_np[i]), float(f32_np[i]),
+                [(np.asarray(cand_np[i]), float(f32_np[i]))])
     scores_r = np.where(finite, scores_r, np.inf)
-    j = int(np.argmin(scores_r))
-    return np.asarray(cand_np[reps[j]]), float(scores_r[j])
+    order = np.argsort(scores_r)
+    basins = [(np.asarray(cand_np[reps[int(j)]]), float(scores_r[int(j)]))
+              for j in order if np.isfinite(scores_r[int(j)])]
+    j = int(order[0])
+    return np.asarray(cand_np[reps[j]]), float(scores_r[j]), basins
 
 
 def _basin_representatives(cand: np.ndarray, f32_scores: np.ndarray,
@@ -800,6 +816,33 @@ def _basin_representatives(cand: np.ndarray, f32_scores: np.ndarray,
         assigned |= close
         reps.append(i)
     return reps
+
+
+def _restore_fit_basins(gp, state: Dict[str, Any]) -> None:
+    """Rehydrate the last fit's basin list from a state dict (absent-tolerant:
+    reference-era and pre-round-5 dicts simply leave hyp_basins empty)."""
+    bp = state.get("fit_basins_params")
+    bf = state.get("fit_basins_nmll")
+    if bp is not None and bf is not None and np.size(bp):
+        bp = np.atleast_2d(np.asarray(bp, dtype=np.float64))
+        bf = np.asarray(bf, dtype=np.float64).reshape(-1)
+        gp._fit_basins = [(bp[i], float(bf[i])) for i in range(len(bf))]
+
+
+def _endpoint_basins(all_x, all_f) -> list:
+    """``[(log_params, neg_mll)]`` per distinct basin, best-first, from raw
+    restart endpoints. The scores must share one objective (same dtype /
+    jitter floor) so they are mutually comparable; callers pass endpoints
+    from a single optimizer invocation."""
+    all_x = np.atleast_2d(np.asarray(all_x, dtype=np.float64))
+    all_f = np.asarray(all_f, dtype=np.float64).reshape(-1)
+    if all_x.size == 0 or not np.isfinite(all_f).any():
+        return []
+    reps = _basin_representatives(all_x, all_f)
+    out = [(np.asarray(all_x[i]), float(all_f[i]))
+           for i in reps if np.isfinite(all_f[i])]
+    out.sort(key=lambda t: t[1])
+    return out
 
 
 def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
@@ -845,10 +888,11 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
 
     if optimizer == "scipy":
         obj = lambda lp: neg_mll(state, cfg, lp)
-        best, best_f = opt_ops.minimize_scipy_restarts(obj, x0, bounds=bounds,
-                                                       maxiter=maxiter)
+        best, best_f, all_x, all_f = opt_ops.minimize_scipy_restarts(
+            obj, x0, bounds=bounds, maxiter=maxiter, return_all=True)
         new_state = set_hyperparams(state, cfg, best)
-        return new_state, {"mll": float(-best_f), "params": np.asarray(best)}
+        return new_state, {"mll": float(-best_f), "params": np.asarray(best),
+                           "basins": _endpoint_basins(all_x, all_f)}
 
     fit_dtype = jnp.dtype(config.compute_dtype()).name
     if fit_dtype == "float32" and state.x.shape[0] <= config.fit_f64_max_cap():
@@ -866,14 +910,16 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # (x, y, n, hyperparams) — a few-KB transfer. This is the TPU-native
         # split: bulk f32 linear algebra on the MXU, tiny serial f64 on the
         # host.
-        best_log, best_f = _fit_f64_host(state, cfg, d, int(maxiter),
-                                         optimizer, x0, host_xy=host_xy)
+        best_log, best_f, all_x, all_f = _fit_f64_host(
+            state, cfg, d, int(maxiter), optimizer, x0, host_xy=host_xy)
         if not np.isfinite(float(best_f)):
             raise RuntimeError(
                 "GP hyperparameter fit failed: the objective was non-finite "
                 "at every restart (degenerate training data or Gram matrix)")
         new_state = _refresh_post_fit(state, cfg, d, best_log, host_xy)
-        return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
+        return new_state, {"mll": float(-best_f),
+                           "params": np.asarray(best_log),
+                           "basins": _endpoint_basins(all_x, all_f)}
     if fit_dtype == "float32" and config.fit_f64_select():
         # exact-f64 model SELECTION across the f32 restart endpoints: the
         # f32 jitter floor can invert the between-basin MLL ranking by
@@ -906,25 +952,28 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
                 best_f = float(spec_nll)
                 if np.isfinite(best_f):
                     best_log, new_state = spec_log, spec_state
+                    basins = [(np.asarray(cand_np[reps[0]]), best_f)]
                 else:
                     # conditioned edge: fall back to the full rescore
-                    best_np, best_f = _f64_select(state, cfg, d, cand_np,
-                                                  f32_np, host_xy=host_xy)
+                    best_np, best_f, basins = _f64_select(
+                        state, cfg, d, cand_np, f32_np, host_xy=host_xy)
                     best_log = jnp.asarray(best_np)
             else:
-                best_np, best_f = _f64_select(state, cfg, d, cand_np, f32_np,
-                                              host_xy=host_xy)
+                best_np, best_f, basins = _f64_select(
+                    state, cfg, d, cand_np, f32_np, host_xy=host_xy)
                 best_log = jnp.asarray(best_np)
                 if (np.isfinite(best_f)
                         and np.array_equal(best_np, cand_np[reps[0]])):
                     new_state = spec_state  # speculation hit
         else:
-            best_np, best_f = _f64_select(state, cfg, d, cand_np, f32_np,
-                                          host_xy=host_xy)
+            best_np, best_f, basins = _f64_select(state, cfg, d, cand_np,
+                                                  f32_np, host_xy=host_xy)
             best_log = jnp.asarray(best_np)
     else:
         run = _fit_core(cfg, d, int(maxiter), optimizer, fit_dtype=fit_dtype)
         new_state, best_log, best_f = run(state, x0)
+        basins = [(np.asarray(jax.device_get(best_log)),
+                   float(jax.device_get(best_f)))]
     if (fit_dtype == "float32" and optimizer == "lbfgs"
             and state.x.shape[0] <= config.fit_polish_max_cap()
             and config.fit_polish_iters() > 0):
@@ -936,7 +985,7 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # drift from the main fit pipeline.
         pre_polish = (new_state, best_log, best_f)
         if _route_f64_to_host():
-            best_log, best_f = _fit_f64_host(
+            best_log, best_f, _, _ = _fit_f64_host(
                 state, cfg, d, int(config.fit_polish_iters()), optimizer,
                 jnp.asarray(best_log)[None, :], host_xy=host_xy)
             new_state = None
@@ -964,7 +1013,16 @@ def fit(state: GPState, cfg: GPTrainConfig, x0=None, maxiter: int = 500,
         # cheaper route (on-device emulated f64 vs host chol + upload — see
         # _refresh_post_fit / config.device_refresh_max_cap)
         new_state = _refresh_post_fit(state, cfg, d, best_log, host_xy)
-    return new_state, {"mll": float(-best_f), "params": np.asarray(best_log)}
+    # basin 0 carries the FINAL (possibly polished) optimum: the polish
+    # descends within the selected basin, so the basin list stays valid and
+    # the spread is measured around the installed hyperparameters
+    best_np = np.asarray(jax.device_get(best_log))
+    if basins:
+        basins[0] = (best_np, float(best_f))
+    else:
+        basins = [(best_np, float(best_f))]
+    return new_state, {"mll": float(-best_f), "params": best_np,
+                       "basins": basins}
 
 
 # =====================================================================
@@ -1294,7 +1352,37 @@ class GP:
                                n_restarts=n_restarts, rng=rng,
                                optimizer=self.optimizer_method,
                                host_xy=self._host_mirror())
+        # distinct optimizer basins of THIS fit, best-first: consumed by the
+        # evidence bounds (samplers.py dlogz_hyp) to propagate
+        # hyperparameter-fit uncertainty — the reference reports raw
+        # GP-sigma bounds only (samplers.py:172-185) and shares the
+        # resulting under-coverage (BENCH_NOTES round-4 campaign: 4/10)
+        self._fit_basins = info.get("basins") or []
         return info
+
+    def hyp_basins(self, mll_window: float = 8.0, max_basins: int = 4) -> list:
+        """``[(log_params, neg_mll)]`` from the last fit, best-first,
+        trimmed to basins within ``mll_window`` nats of the optimum (a basin
+        8 nats down carries posterior weight ~3e-4 — negligible)."""
+        basins = getattr(self, "_fit_basins", None) or []
+        if not basins:
+            return []
+        f0 = basins[0][1]
+        return [b for b in basins if b[1] - f0 <= mll_window][:max_basins]
+
+    def predict_mean_with_params(self, log_params, x):
+        """Posterior mean at ``x`` under ALTERNATE hyperparameters.
+
+        Functional: refreshes a TEMPORARY state (the live state is
+        untouched) over the cheaper refresh route and predicts through the
+        same chunked path as predict_mean_batched. Used by the evidence
+        bounds to measure logZ sensitivity across fit basins."""
+        st = _refresh_post_fit(self.state, self.cfg, self.ndim,
+                               jnp.asarray(np.asarray(log_params,
+                                                      dtype=np.float64)),
+                               self._host_mirror())
+        return self._map_chunked(
+            lambda xe: predict_mean(st, self.cfg, xe), jnp.atleast_2d(x))
 
     def update_hyperparams(self, log_params):
         self.state = set_hyperparams(self.state, self.cfg, jnp.asarray(log_params))
@@ -1385,6 +1473,14 @@ class GP:
                        else np.asarray(self.state.log_wa)),
             "log_wb": (None if self.state.log_wb is None
                        else np.asarray(self.state.log_wb)),
+            # beyond-reference: the last fit's distinct optimizer basins
+            # (dlogz_hyp needs them after a resume; absent-tolerant on load)
+            "fit_basins_params": np.asarray(
+                [p for p, _ in getattr(self, "_fit_basins", [])],
+                dtype=np.float64),
+            "fit_basins_nmll": np.asarray(
+                [f for _, f in getattr(self, "_fit_basins", [])],
+                dtype=np.float64),
         }
 
     @classmethod
@@ -1426,6 +1522,7 @@ class GP:
                 log_wb=jnp.asarray(np.asarray(log_wb, dtype=np.float64)))
             if gp.cfg.input_warp:
                 gp.state = _refresh_jit(gp.state, gp.cfg)
+        _restore_fit_basins(gp, state)
         return gp
 
     def save(self, filename: str = "gp"):

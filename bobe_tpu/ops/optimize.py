@@ -222,6 +222,7 @@ def minimize_scipy_restarts(
     bounds=None,
     maxiter: int = 200,
     vg: Optional[Callable] = None,
+    return_all: bool = False,
     **_unused,
 ):
     """Host-side scipy L-BFGS-B multi-restart (parity oracle; cf. reference
@@ -230,7 +231,12 @@ def minimize_scipy_restarts(
     ``vg``: optional prebuilt ``lp -> (value, grad)`` callable. The default
     jits ``fun`` per call — fine for one-off oracle use, but a caller invoking
     this every BO iteration (the host-routed f64 fit) must pass a cached
-    jitted vg or pay a full retrace each fit."""
+    jitted vg or pay a full retrace each fit.
+
+    ``return_all``: additionally return the per-restart endpoints
+    ``(all_x (R', p), all_f (R',))`` for the restarts that completed with a
+    finite objective — the raw material for basin analysis (hyperparameter-
+    uncertainty propagation into the evidence bounds, samplers.py)."""
     from scipy.optimize import minimize as sp_minimize
 
     x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
@@ -275,6 +281,7 @@ def minimize_scipy_restarts(
                 lambda xi: _try_restart(one_restart, xi), x0))
     else:
         outcomes = [_try_restart(one_restart, xi) for xi in x0]
+    all_x, all_f = [], []
     for i, res in enumerate(outcomes):
         if res is None:
             log.warning(f"scipy restart {i} raised (skipped)")
@@ -285,12 +292,18 @@ def minimize_scipy_restarts(
         # returns a usable best-so-far point — discarding it threw away the
         # winning restart on GP MLL surfaces (measured: two -179.04 abnormal
         # endpoints discarded in favor of a +3935 nit-1 "converged" one)
-        if np.isfinite(res.fun) and res.fun < best_f:
-            best_f, best_x = float(res.fun), res.x
+        if np.isfinite(res.fun):
+            all_x.append(np.asarray(res.x, dtype=np.float64))
+            all_f.append(float(res.fun))
+            if res.fun < best_f:
+                best_f, best_x = float(res.fun), res.x
     if best_x is None:
         raise RuntimeError(
             "every optimizer restart failed (objective non-finite at all "
             "initial points and no scipy run succeeded)")
+    if return_all:
+        return (jnp.asarray(best_x), jnp.asarray(best_f),
+                np.asarray(all_x), np.asarray(all_f))
     return jnp.asarray(best_x), jnp.asarray(best_f)
 
 

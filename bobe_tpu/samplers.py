@@ -319,21 +319,59 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     # widen upper/lower too so the (upper-lower)/2 convergence delta sees it
     # (it is ~1e-2 at typical draw counts, but must not be silently dropped)
     sig0 = float(np.sqrt(var_logvol0))
+    # GP-only half-width BEFORE the sig0 widening: err_total must combine
+    # independent terms exactly once, and var_logvol0 already lives inside
+    # dlogz_sampler below — widening upper/lower AND the sampler term would
+    # double-count the seed-volume variance (advisor round 4).
+    gp_half_width = float(0.5 * (logz_dict["upper"] - logz_dict["lower"]))
     logz_dict["var"] += var_logvol0
     logz_dict["upper"] += sig0
     logz_dict["lower"] -= sig0
     logz_dict["std"] = float(2.0 * np.sqrt(logz_dict["var"]))
     logz_dict["dlogz_sampler"] = float(np.sqrt(logzerr**2 + var_logvol0))
     logz_dict["h"] = h
+    # hyperparameter-fit uncertainty (BEYOND-reference: the reference
+    # reports raw GP-sigma bounds, samplers.py:172-185, and point-fits its
+    # hyperparameters): re-integrate the evidence under each distinct fit
+    # basin's GP mean over the SAME dead-point volumes; the MLL-weighted
+    # spread of those logZ values is an independent error term. One fit
+    # basin (the common case) contributes exactly 0.
+    dlogz_hyp = 0.0
+    basins = getattr(gp, "hyp_basins", lambda: [])()
+    if len(basins) >= 2:
+        try:
+            from scipy.special import logsumexp as _lse
+
+            nmll0 = basins[0][1]
+            lzs, lw = [], []
+            for params, nmll in basins:
+                mu = np.asarray(gp.predict_mean_with_params(
+                    params, jnp.asarray(dead_x)))
+                lwt = integrals.logwt_from(mu, logvol_arr, lv_start=logvol0)
+                lzs.append(float(_lse(lwt)))
+                lw.append(-(nmll - nmll0))  # log posterior weight (flat
+                #                             prior over the basin set)
+            w = np.exp(np.asarray(lw) - np.max(lw))
+            w /= w.sum()
+            lz = np.asarray(lzs)
+            mean_w = float(np.sum(w * lz))
+            dlogz_hyp = float(np.sqrt(np.sum(w * (lz - mean_w) ** 2)))
+            if dlogz_hyp > 0.01:
+                log.debug(f"hyperparameter-basin logZ spread: "
+                          f"{dlogz_hyp:.4f} over {len(basins)} basins")
+        except Exception as e:  # an estimate must never kill the run
+            log.debug(f"dlogz_hyp estimation failed (ignored): {e!r}")
+    logz_dict["dlogz_hyp"] = dlogz_hyp
     # the honest user-facing error bar: GP-surrogate uncertainty (half the
     # re-integrated logl +/- sigma bound width — what the convergence rule
-    # thresholds) and NS sampler noise are INDEPENDENT error sources, and at
-    # converged-GP scales the sampler term dominates (round-4 10-seed
-    # planck-like campaign: GP delta ~0.03, sampler 0.052; |dlogZ| covered
-    # 9/10 by the quadrature sum but only 4/10 by the GP delta alone)
+    # thresholds), NS sampler noise, and hyperparameter-fit spread are
+    # INDEPENDENT error sources; at converged-GP scales the sampler term
+    # dominates (round-4 10-seed planck-like campaign: GP delta ~0.03,
+    # sampler 0.052; |dlogZ| covered 9/10 by the quadrature sum but only
+    # 4/10 by the GP delta alone — the hyp term targets the residual miss)
     logz_dict["err_total"] = float(np.sqrt(
-        (0.5 * (logz_dict["upper"] - logz_dict["lower"])) ** 2
-        + logz_dict["dlogz_sampler"] ** 2))
+        gp_half_width ** 2 + logz_dict["dlogz_sampler"] ** 2
+        + dlogz_hyp ** 2))
 
     logwt = integrals.logwt_from(dead_logl, logvol_arr, lv_start=logvol0)
     weights = renormalise_log_weights(logwt)

@@ -132,11 +132,15 @@ def test_f64_select_overrides_f32_ranking():
     # f32 values CLAIM the f64-worse basin wins; selection must ignore them
     lied_f32 = np.empty(2)
     lied_f32[bad], lied_f32[good] = f64[good] - 1e3, f64[bad] + 1e3
-    best_log, best_f = gpm._f64_select(gp.state, gp.cfg, 2, cand,
-                                       jnp.asarray(lied_f32))
+    best_log, best_f, basins = gpm._f64_select(gp.state, gp.cfg, 2, cand,
+                                               jnp.asarray(lied_f32))
     np.testing.assert_allclose(np.asarray(best_log), np.asarray(cand[good]),
                                rtol=1e-12)
     np.testing.assert_allclose(best_f, f64[good], rtol=1e-10)
+    # basin report: both basins, best-first, exact f64 scores
+    assert len(basins) == 2
+    np.testing.assert_allclose(basins[0][1], f64[good], rtol=1e-10)
+    np.testing.assert_allclose(basins[1][1], f64[bad], rtol=1e-10)
 
 
 def test_f32_fit_reports_exact_f64_mll(monkeypatch):

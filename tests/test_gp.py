@@ -293,10 +293,10 @@ def test_host_routed_fit_matches_device_fit(monkeypatch):
     rng = np.random.default_rng(1)
     x0 = jnp.asarray(rng.uniform(np.asarray(bounds[0]), np.asarray(bounds[1]),
                                  size=(4, bounds.shape[1])))
-    best_host, f_host = gpm._fit_f64_host(
+    best_host, f_host, _, _ = gpm._fit_f64_host(
         gp.state, gp.cfg, 2, 200, "lbfgs", x0,
         host_xy=gp._host_mirror())
-    best_fetch, f_fetch = gpm._fit_f64_host(
+    best_fetch, f_fetch, _, _ = gpm._fit_f64_host(
         gp.state, gp.cfg, 2, 200, "lbfgs", x0, host_xy=None)
     run = gpm._fit_core(gp.cfg, 2, 200, "lbfgs", fit_dtype="float64")
     _, best_dev, f_dev = run(gp.state, x0)
@@ -327,7 +327,7 @@ def test_host_scipy_fit_not_worse_than_lockstep():
     # host_xy=None (fetch path): the host state reuses the device y_mean /
     # y_std bit-exactly, so the value-identity check below is exact; the
     # mirror path differs in the last ulp of the standardization
-    best_sp, f_sp = gpm._fit_f64_host(gp.state, gp.cfg, 2, 200, "lbfgs", x0,
+    best_sp, f_sp, _, _ = gpm._fit_f64_host(gp.state, gp.cfg, 2, 200, "lbfgs", x0,
                                       host_xy=None)
     run = gpm._fit_core(gp.cfg, 2, 200, "lbfgs", fit_dtype="float64")
     _, best_dev, f_dev = run(gp.state, x0)
@@ -533,3 +533,72 @@ def test_optimizer_options_are_honored(monkeypatch):
     gp.fit(maxiter=500, n_restarts=4)
     assert seen["maxiter"] == 7
     assert seen["n_restarts"] == 2
+
+
+def test_fit_returns_basins_best_first():
+    """fit() reports the distinct optimizer basins of the restart endpoints
+    (best-first, basin 0 = the installed optimum) and the facade caches
+    them for the evidence bounds (dlogz_hyp, samplers.py)."""
+    from bobe_tpu.models import gp as gpm
+
+    x, y = make_data(40, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    info = gp.fit(n_restarts=4, maxiter=100)
+    basins = info["basins"]
+    assert len(basins) >= 1
+    np.testing.assert_allclose(basins[0][0], info["params"], atol=1e-12)
+    fs = [b[1] for b in basins]
+    assert fs == sorted(fs)
+    assert len(gp.hyp_basins()) >= 1
+    # window: a basin 100 nats worse must be trimmed from hyp_basins
+    gp._fit_basins = list(basins) + [(basins[0][0] + 1.0,
+                                      basins[0][1] + 100.0)]
+    kept = gp.hyp_basins()
+    assert all(f - kept[0][1] <= 8.0 for _, f in kept)
+
+
+def test_endpoint_basins_dedupe_and_sort():
+    from bobe_tpu.models.gp import _endpoint_basins
+
+    xs = np.array([[0.0, 0.0], [0.001, -0.001], [2.0, 2.0]])
+    fs = np.array([5.0, 4.9, 7.0])
+    basins = _endpoint_basins(xs, fs)
+    assert len(basins) == 2  # first two endpoints share one basin
+    assert basins[0][1] == 4.9 and basins[1][1] == 7.0
+    assert _endpoint_basins(np.zeros((0, 2)), np.zeros((0,))) == []
+
+
+def test_predict_mean_with_params_matches_current_at_same_params():
+    x, y = make_data(40, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    gp.fit(n_restarts=2, maxiter=60)
+    params = np.log(np.asarray(gp.get_hyperparams()))
+    q = np.random.default_rng(0).uniform(size=(7, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict_mean_with_params(params, q)),
+        np.asarray(gp.predict_mean_batched(jnp.asarray(q))), rtol=1e-8)
+    # and ALTERNATE params actually change the prediction
+    alt = params + np.array([1.0] * (len(params) - 1) + [0.0])
+    diff = np.abs(np.asarray(gp.predict_mean_with_params(alt, q))
+                  - np.asarray(gp.predict_mean_batched(jnp.asarray(q))))
+    assert diff.max() > 1e-6
+
+
+def test_fit_basins_roundtrip_state_dict(tmp_path):
+    x, y = make_data(40, 2, seed=9)
+    gp = GP(train_x=x, train_y=y)
+    gp.fit(n_restarts=3, maxiter=60)
+    gp._fit_basins = [(np.array([0.1, 0.2, 0.3]), -5.0),
+                      (np.array([1.1, 1.2, 1.3]), -4.0)]
+    gp2 = GP.from_state_dict(gp.state_dict())
+    assert len(gp2.hyp_basins()) == 2
+    np.testing.assert_allclose(gp2._fit_basins[0][0], [0.1, 0.2, 0.3])
+    assert gp2._fit_basins[1][1] == -4.0
+    # npz save/load path too
+    gp.save(str(tmp_path / "g"))
+    gp3 = GP.load(str(tmp_path / "g"))
+    assert len(gp3.hyp_basins()) == 2
+    # absent keys (reference-era dicts) leave basins empty
+    sd = gp.state_dict()
+    sd.pop("fit_basins_params"), sd.pop("fit_basins_nmll")
+    assert GP.from_state_dict(sd).hyp_basins() == []

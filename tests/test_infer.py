@@ -228,3 +228,40 @@ def test_spec_candidates_match_sequential_shrinkage():
     # nested (each candidate inside the previous candidate's bracket)
     assert np.all(np.asarray(ts) >= np.asarray(lo0)[:, None] - 1e-15)
     assert np.all(np.asarray(ts) <= np.asarray(hi0)[:, None] + 1e-15)
+
+
+def test_dlogz_hyp_folds_hyperfit_spread_into_err_total():
+    """Evidence bounds propagate hyperparameter-fit uncertainty: one fit
+    basin -> dlogz_hyp == 0; a genuinely different second basin -> a
+    positive spread folded into err_total in quadrature (beyond-reference:
+    the reference reports raw GP-sigma bounds, samplers.py:172-185)."""
+    from bobe_tpu.models.gp import GP
+    from bobe_tpu.samplers import nested_sampling
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(48, 2))
+    y = -0.5 * np.sum(((x - 0.5) / 0.15) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
+    gp.fit(n_restarts=2, maxiter=80)
+    gp._fit_basins = gp._fit_basins[:1]
+    _, logz1, ok1 = nested_sampling(gp, mode="acq",
+                                    rng=np.random.default_rng(1),
+                                    rng_key=jax.random.PRNGKey(1))
+    assert ok1 and logz1["dlogz_hyp"] == 0.0
+
+    # inject a second basin with clearly different lengthscales, 1 nat off
+    p0, f0 = gp._fit_basins[0]
+    alt = np.asarray(p0, dtype=float).copy()
+    alt[:2] += 1.5  # much longer lengthscales -> different surrogate mean
+    gp._fit_basins = [(p0, f0), (alt, f0 + 1.0)]
+    _, logz2, ok2 = nested_sampling(gp, mode="acq",
+                                    rng=np.random.default_rng(1),
+                                    rng_key=jax.random.PRNGKey(1))
+    assert ok2
+    assert logz2["dlogz_hyp"] > 0.0
+    assert logz2["err_total"] >= logz2["dlogz_hyp"] * 0.999
+    # quadrature composition: err_total^2 - dlogz_hyp^2 == the two-term
+    # total of the single-basin run (same rng -> same realization)
+    np.testing.assert_allclose(
+        logz2["err_total"] ** 2 - logz2["dlogz_hyp"] ** 2,
+        logz1["err_total"] ** 2, rtol=1e-6)
