@@ -26,6 +26,7 @@ infer/integrals.py and matches the reference's constructions exactly.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -297,6 +298,21 @@ def _ns_loop(loglike_apply: Callable, ctx, live_x0, live_logl0, key, logvol0,
     return lax.while_loop(cond, body, init)
 
 
+def _resolve_spec(spec, d: int) -> int:
+    """Speculative slice-shrink depth (see _spec_candidates): the sequential
+    while_loop depth divides by ~E[shrinks-to-accept] while the batched GP
+    eval grows K -> K*spec rows. Measured on the v5e (GP cap 1024,
+    convergence mode): d=15 5.90 -> 4.18 s (spec 1 -> 4), d=8 1.19 -> 1.54 s
+    — the win scales with the n_repeats = 3d sequential depth, so
+    speculation turns on where that depth rule does (d >= 10). Override with
+    BOBE_TPU_NS_SPEC; shared by run_nested and the dynamic-batch
+    decorrelation stage so the env knob governs both (advisor round 4)."""
+    if spec is None:
+        env = os.environ.get("BOBE_TPU_NS_SPEC")
+        spec = int(env) if env else (4 if d >= 10 else 1)
+    return max(1, int(spec))
+
+
 def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
                dlogz: float = 0.01, maxcall: int = int(5e6),
                kill_frac: float = 0.1, n_repeats: int | None = None,
@@ -333,19 +349,7 @@ def run_nested(loglike_apply: Callable, ctx, d: int, key, nlive: int = 500,
     K = max(1, int(round(nlive * kill_frac)))
     if n_repeats is None:
         n_repeats = max(3, int(math.ceil(1.5 * d)))
-    if spec is None:
-        # speculative slice-shrink depth (see _spec_candidates): the
-        # sequential while_loop depth divides by ~E[shrinks-to-accept] while
-        # the batched GP eval grows K -> K*spec rows. Measured on the v5e
-        # (GP cap 1024, convergence mode): d=15 5.90 -> 4.18 s (spec 1 -> 4),
-        # d=8 1.19 -> 1.54 s — the win scales with the n_repeats = 3d
-        # sequential depth, so speculation turns on where that depth rule
-        # does (d >= 10). Override with BOBE_TPU_NS_SPEC.
-        import os as _os2
-
-        env = _os2.environ.get("BOBE_TPU_NS_SPEC")
-        spec = int(env) if env else (4 if d >= 10 else 1)
-    spec = max(1, int(spec))
+    spec = _resolve_spec(spec, d)
     if max_dead is None:
         # converged runs need ~nlive * (H + ln nlive) deaths; the nlive * 80
         # headroom covers H + ln nlive ~ 80, and the clamp must scale with
@@ -658,7 +662,7 @@ def run_nested_dynamic(loglike_apply, ctx, d: int, key, nlive: int = 500,
     n_rep = ns_kwargs.get("n_repeats") or max(3, int(math.ceil(1.5 * d)))
     bx, bl, dec_calls = _decorrelate(loglike_apply, ctx, bx, bl,
                                      jnp.asarray(l_lo), k_dec, int(n_rep), 40,
-                                     spec=4 if d >= 10 else 1)
+                                     spec=_resolve_spec(ns_kwargs.get("spec"), d))
 
     batch = run_nested(loglike_apply, ctx, d, k_batch, nlive=nlive_batch,
                        dlogz=dlogz, maxcall=maxcall, live_x=bx, live_logl=bl,

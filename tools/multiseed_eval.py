@@ -19,7 +19,10 @@ import time
 
 import numpy as np
 
-# match the examples' fit policy (cheap analytic toys -> f32+polish path)
+# match the examples' fit policy (cheap analytic toys -> f32+polish path).
+# Remember whether WE set it: run_planck must lift only this tool's default,
+# never a value the user exported explicitly (advisor round 4).
+_F64_CAP_WAS_USER_SET = "BOBE_TPU_F64_FIT_MAX_CAP" in os.environ
 os.environ.setdefault("BOBE_TPU_F64_FIT_MAX_CAP", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,25 +70,33 @@ def run_planck(seed: int) -> dict:
     # budget-capped evals vs 0.001 @ 216 converged; re-measured round 4 when
     # this tool's env leaked into the coverage campaign: seeds capped at 500
     # evals with widened deltas)
-    if os.environ.get("BOBE_TPU_F64_FIT_MAX_CAP") == "0":
+    lifted = (not _F64_CAP_WAS_USER_SET
+              and os.environ.get("BOBE_TPU_F64_FIT_MAX_CAP") == "0")
+    if lifted:
         del os.environ["BOBE_TPU_F64_FIT_MAX_CAP"]
+    try:
+        from bobe_tpu import BOBE
+        from bobe_tpu.models.toys import make_planck_like, planck_like_ref_draws
 
-    from bobe_tpu import BOBE
-    from bobe_tpu.models.toys import make_planck_like, planck_like_ref_draws
-
-    loglike, bounds, names, logz_true = make_planck_like()
-    rng = np.random.default_rng(seed)
-    ref_x, ref_y = planck_like_ref_draws(loglike, bounds, 8, rng)
-    bobe = BOBE(loglikelihood=loglike, param_list=names, param_bounds=bounds,
-                n_sobol_init=48, n_cobaya_init=0, init_train_x=ref_x,
-                init_train_y=ref_y, use_clf=True, clf_type="svm", seed=seed,
-                save=False, verbosity="WARNING")
-    res = bobe.run(acq="wipstd", min_evals=120, max_evals=500,
-                   max_gp_size=600, logz_threshold=0.05, fit_n_points=8,
-                   batch_size=4, ns_n_points=12, convergence_n_iters=2,
-                   do_final_ns=True)
-    res["logz_true"] = logz_true
-    return res
+        loglike, bounds, names, logz_true = make_planck_like()
+        rng = np.random.default_rng(seed)
+        ref_x, ref_y = planck_like_ref_draws(loglike, bounds, 8, rng)
+        bobe = BOBE(loglikelihood=loglike, param_list=names,
+                    param_bounds=bounds, n_sobol_init=48, n_cobaya_init=0,
+                    init_train_x=ref_x, init_train_y=ref_y, use_clf=True,
+                    clf_type="svm", seed=seed, save=False,
+                    verbosity="WARNING")
+        res = bobe.run(acq="wipstd", min_evals=120, max_evals=500,
+                       max_gp_size=600, logz_threshold=0.05, fit_n_points=8,
+                       batch_size=4, ns_n_points=12, convergence_n_iters=2,
+                       do_final_ns=True)
+        res["logz_true"] = logz_true
+        return res
+    finally:
+        # restore the toy default so toy problems after 'planck' in the same
+        # invocation keep the f32+polish policy they document
+        if lifted:
+            os.environ["BOBE_TPU_F64_FIT_MAX_CAP"] = "0"
 
 
 def main():
@@ -126,9 +137,17 @@ def main():
                 dls = float(lz.get("dlogz_sampler", np.nan))
                 row["delta_reported"] = round(delta, 4)
                 row["dlogz_sampler"] = round(dls, 4)
+                row["dlogz_hyp"] = round(float(lz.get("dlogz_hyp", 0.0)), 4)
                 row["covered"] = bool(row["abs_dlogz"] <= delta)
-                total = float(np.sqrt(delta**2 + (dls if np.isfinite(dls)
-                                                  else 0.0)**2))
+                # the USER-FACING error bar: prefer the run's own err_total
+                # (GP (+) sampler (+) hyperparameter-basin spread) over the
+                # local two-term reconstruction
+                total = float(lz.get("err_total", np.nan))
+                if not np.isfinite(total):
+                    total = float(np.sqrt(delta**2
+                                          + (dls if np.isfinite(dls)
+                                             else 0.0)**2))
+                row["err_total"] = round(total, 4)
                 row["covered_total"] = bool(row["abs_dlogz"] <= total)
             rows.append(row)
             print(json.dumps({prob: rows[-1]}), flush=True)
