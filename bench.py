@@ -107,12 +107,19 @@ def run_baseline_cpu():
         acq = jax.lax.map(per_candidate, mc_j)
         return float(jnp.min(acq))
 
-    # warm up compiles, then time
+    # warm up compiles, then time. The denominator is the baseline's BEST of
+    # 2 cycles: under host contention both sides inflate, and taking the
+    # baseline's fastest (vs our median) keeps the reported ratio
+    # conservative rather than contention-flattered.
     reference_style_cycle()
-    t0 = time.time()
-    reference_style_cycle()
-    total = time.time() - t0
-    return total, fit_time[0]
+    totals, fits = [], []
+    for _ in range(2):
+        t0 = time.time()
+        reference_style_cycle()
+        totals.append(time.time() - t0)
+        fits.append(fit_time[0])
+    i = int(np.argmin(totals))
+    return totals[i], fits[i]
 
 
 def run_tpu_cycle() -> float:
@@ -151,12 +158,21 @@ def run_tpu_cycle() -> float:
     t0 = time.time()
     cycle()
     dt = time.time() - t0
-    # cycles are fast on device: average a few for a stable number
-    reps = max(1, int(2.0 / max(dt, 1e-3)))
-    t0 = time.time()
-    for _ in range(reps):
-        cycle()
-    return (time.time() - t0) / reps
+    # Contention discipline (VERDICT r4): the official artifact is a single
+    # driver capture, and round 4 showed a 1-core-saturated host inflating
+    # it ~1.5x. Take >=5 independent batch timings (each batch sized to
+    # ~0.5 s so per-batch noise averages) and report the MEDIAN per-cycle
+    # time, with the min disclosed alongside so a contended capture is
+    # self-diagnosing.
+    reps = max(1, int(0.5 / max(dt, 1e-3)))
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(reps):
+            cycle()
+        samples.append((time.time() - t0) / reps)
+    samples.sort()
+    return samples[len(samples) // 2], samples[0]
 
 
 def run_sampler_phase():
@@ -181,22 +197,33 @@ def run_sampler_phase():
     gp = gpm.GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
     gp.fit(n_restarts=2, maxiter=20)
 
-    # NS: first call compiles the mega-graph (cached per host), second is the
+    # NS: first call compiles the mega-graph (cached per host); the
     # steady-state number the BO loop pays at every convergence checkpoint
+    # is then the MEDIAN of 3 runs (min disclosed) — the r04 artifact
+    # recorded a single contended run at 14x the quiet number, so one
+    # sample is not a measurement (VERDICT r4, What's weak #1)
     nested_sampling(gp, mode="convergence")
-    t0 = time.time()
-    _, logz_dict, ok = nested_sampling(gp, mode="convergence")
-    ns_s = time.time() - t0
+    ns_samples = []
+    logz_dict, ok = None, False
+    for _ in range(3):
+        t0 = time.time()
+        _, logz_dict, ok = nested_sampling(gp, mode="convergence")
+        ns_samples.append(time.time() - t0)
+    ns_samples.sort()
 
     # EHMC: cold call adapts the kernel; the FIRST warm call compiles the
-    # fixed-mass variant (a different graph) — the second warm call is the
-    # steady-state refresh the BO loop pays every iteration
+    # fixed-mass variant (a different graph) — subsequent warm calls are
+    # the steady-state refresh the BO loop pays every iteration
     out = sample_gp_ensemble(gp)
     out = sample_gp_ensemble(gp, warm_state=out["warm_state"])
-    t0 = time.time()
-    out = sample_gp_ensemble(gp, warm_state=out["warm_state"])
-    ehmc_s = time.time() - t0
-    return ns_s, ehmc_s, float(logz_dict["mean"]), bool(ok)
+    ehmc_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        out = sample_gp_ensemble(gp, warm_state=out["warm_state"])
+        ehmc_samples.append(time.time() - t0)
+    ehmc_samples.sort()
+    return (ns_samples[1], ns_samples[0], ehmc_samples[1], ehmc_samples[0],
+            float(logz_dict["mean"]), bool(ok))
 
 
 def _probe_default_backend(timeout_s: float = 240.0) -> bool:
@@ -247,16 +274,19 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    ours = run_tpu_cycle()
+    ours, ours_min = run_tpu_cycle()
 
     sampler = None
     if not skip_sampler:
         # the dominant phase of real cosmology-scale runs (VERDICT round 3):
         # measured every bench run so regressions are visible to the driver
         try:
-            ns_s, ehmc_s, ns_logz, ns_ok = run_sampler_phase()
+            ns_s, ns_min, ehmc_s, ehmc_min, ns_logz, ns_ok = \
+                run_sampler_phase()
             sampler = {"ns_convergence_s": round(ns_s, 4),
+                       "ns_convergence_min_s": round(ns_min, 4),
                        "ehmc_refresh_s": round(ehmc_s, 4),
+                       "ehmc_refresh_min_s": round(ehmc_min, 4),
                        "ns_logz": round(ns_logz, 4), "ns_success": ns_ok}
         except Exception as e:
             print(f"bench.py: sampler-phase measurement failed: {e!r}",
@@ -318,12 +348,25 @@ def main():
         metric += (" [CPU fallback: accelerator tunnel down; last real-TPU "
                    "measurement 0.3904 s/cycle on a v5e via relay, "
                    "BENCH_NOTES round 3]")
+    # host-load annotation: the r04 artifact halved its own headline under
+    # ambient 1-core contention with nothing in the record saying so. A
+    # loadavg near (or above) ncpu tells the reader the median/min spread
+    # is contention, not regression.
+    try:
+        load1, load5, _ = os.getloadavg()
+        load = {"loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2),
+                "ncpu": os.cpu_count()}
+    except OSError:
+        load = None
     out = {
         "metric": metric,
         "value": round(ours, 4),
+        "value_min": round(ours_min, 4),
         "unit": "s/cycle",
         "vs_baseline": None if vs is None else round(vs, 2),
     }
+    if load is not None:
+        out["host_load"] = load
     if baseline_4rank:
         # margin against the idealized 4-rank MPI reference (restart farm
         # scaled perfectly): the honest multi-process denominator
