@@ -8,6 +8,31 @@ surrogate to produce the Bayesian evidence (logZ) and posterior samples.
 Public facade mirrors the reference package exports
 (/root/reference/BOBE/__init__.py:41-95).
 """
+import os as _os
+
+if (_os.environ.get("BOBE_TPU_SERVER")
+        and _os.environ.get("BOBE_TPU_SERVER_ROLE") != "server"):
+    # Device-server client mode (server.py): the server process owns the
+    # accelerator; this process only evaluates likelihoods and orchestrates
+    # IO, so pin it to the host CPU backend BEFORE any jax backend init —
+    # two processes contending for one tunneled TPU would fail or thrash.
+    # The marker tells client.ensure_server the pin is ours, so a spawned
+    # server's env gets it stripped while a user-exported JAX_PLATFORMS is
+    # honored.
+    if "JAX_PLATFORMS" not in _os.environ:
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+        _os.environ["BOBE_TPU_CLIENT_PINNED"] = "1"
+    # belt-and-braces: some environments pre-import jax from a sitecustomize
+    # hook that pins a platform over the env var; jax.config wins as long as
+    # no backend has been initialized yet (nothing in this package touches a
+    # device at import — pinned by tests/test_parallel.py)
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from . import config  # noqa: F401  (enables x64, sets dtype policy, comp cache)
 from .utils.log import setup_logging
 

@@ -94,7 +94,8 @@ class BOBE:
                  minus_inf: float = -1e10,
                  seed: Optional[int] = None,
                  verbosity: str = "INFO",
-                 pool: Union[str, EvalPool] = "auto"):
+                 pool: Union[str, EvalPool] = "auto",
+                 server: Optional[str] = None):
         update_verbosity(verbosity)
 
         self.pool = make_pool(pool) if isinstance(pool, str) else pool
@@ -104,6 +105,37 @@ class BOBE:
             loglikelihood, param_list, param_bounds, param_labels,
             likelihood_name, confidence_for_unbounded, minus_inf)
         self.ndim = len(self.loglikelihood.param_list)
+
+        # ---- device-server client mode (server.py / client.py): the run is
+        # executed on a persistent server that keeps executables loaded
+        # across runs; this process keeps the likelihood + its pool and
+        # serves evaluation callbacks. Activated per-instance (server=) or
+        # fleet-wide (BOBE_TPU_SERVER env). All device-facing setup is
+        # skipped here — it happens server-side with the same code.
+        server_sock = server if server is not None \
+            else os.environ.get("BOBE_TPU_SERVER")
+        self._server_mode = bool(server_sock) and self.is_main
+        if self._server_mode:
+            self._server_socket = str(server_sock)
+            self._server_autospawn = os.environ.get(
+                "BOBE_TPU_SERVER_AUTOSPAWN", "1") != "0"
+            self._server_init = dict(
+                gp_kwargs=dict(gp_kwargs or {}),
+                n_cobaya_init=n_cobaya_init, n_sobol_init=n_sobol_init,
+                init_train_x=(np.asarray(init_train_x)
+                              if init_train_x is not None else None),
+                init_train_y=(np.asarray(init_train_y)
+                              if init_train_y is not None else None),
+                resume=resume, resume_file=resume_file,
+                save_dir=os.path.abspath(save_dir), save=save,
+                save_step=save_step, optimizer=optimizer, acq=acq,
+                use_clf=use_clf, clf_type=clf_type,
+                clf_nsigma_threshold=clf_nsigma_threshold,
+                clf_use_size=clf_use_size, clf_update_step=clf_update_step,
+                minus_inf=minus_inf, seed=seed, verbosity=verbosity)
+            self.gp = None
+            self.results_dict, self.samples_dict = {}, {}
+            return
 
         if not self.is_main:
             # distributed worker ranks serve likelihood evaluations forever
@@ -522,6 +554,21 @@ class BOBE:
         if not self.is_main:
             return None
 
+        if getattr(self, "_server_mode", False):
+            from .client import run_on_server
+
+            return run_on_server(self, dict(
+                acq=acq, min_evals=min_evals, max_evals=max_evals,
+                max_gp_size=max_gp_size, logz_threshold=logz_threshold,
+                convergence_n_iters=convergence_n_iters, ei_goal=ei_goal,
+                do_final_ns=do_final_ns, fit_n_points=fit_n_points,
+                batch_size=batch_size, ns_n_points=ns_n_points,
+                num_hmc_warmup=num_hmc_warmup,
+                num_hmc_samples=num_hmc_samples,
+                mc_points_size=mc_points_size, thinning=thinning,
+                num_chains=num_chains, mc_points_method=mc_points_method,
+                zeta_ei=zeta_ei))
+
         # the whole main loop runs under close-on-exit: any exception on
         # rank 0 must still broadcast TASK_EXIT (via the idempotent
         # pool.close()) or distributed worker ranks hang forever at the
@@ -661,9 +708,9 @@ class BOBE:
         reported evidence one sampler-sigma wide at exactly the tolerance —
         across seeds, |dlogZ| then reaches ~2.5x the threshold (measured
         round 4, d=30 schedule campaign: nlive=4800 single-run maxabs 0.122
-        vs 0.058 with 3 merged runs). Clipped to [lo, 8] (8 bounds the final
-        pass at ~8x the base NS cost); an unknown noise level (dlogz_s <= 0)
-        gets a conservative 2x. Shared by the post-convergence
+        vs 0.058 with 3 merged runs). Clipped to [lo, BOBE_TPU_NS_BOOST_CAP]
+        (default cap 16 — see next paragraph); an unknown noise level
+        (dlogz_s <= 0) gets a conservative 2x. Shared by the post-convergence
         final-precision pass and the budget-capped do_final_ns exit so the
         two cannot drift.
 
@@ -910,11 +957,15 @@ class BOBE:
                 measured = float(logz_dict.get("dlogz_sampler", 0.0))
                 # noise after b1 runs is s1; reaching threshold/2 needs
                 # n_total = b1 * ceil((2*s1/thr)^2) runs in all — clamped to
-                # the same global cap as every other merge schedule
+                # the same global cap as every other merge schedule. The
+                # explicit measured > threshold/2 gate (advisor round 4)
+                # keeps an unmeasurable noise (dlogz_sampler absent -> 0.0,
+                # which _ns_boost maps to a guessed 2x) from firing a
+                # spurious top-up with a log line claiming a measurement.
                 cap = int(os.environ.get("BOBE_TPU_NS_BOOST_CAP", "16"))
                 want = min(boost * self._ns_boost(measured, lo=1),
                            max(boost, cap))
-                if want > boost:
+                if want > boost and measured > self.logz_threshold / 2.0:
                     log.info(f"Final NS top-up: {want - boost} more runs "
                              f"(measured sampler noise {measured:.3f} > "
                              f"threshold/2 = {self.logz_threshold / 2:.3f})")
@@ -926,6 +977,21 @@ class BOBE:
                         dynamic=False, rng=self.np_rng)
                     if top_ok:
                         final_samples, logz_dict = top_samples, top_logz
+                        # re-measure on the merged set: static top-up runs
+                        # carry different per-run noise than the dynamic
+                        # base (no batch refinement), so the schedule above
+                        # is approximate — report honestly if the merged
+                        # noise still misses the target rather than assume
+                        # the 1/sqrt(n) model held
+                        remeasured = float(top_logz.get("dlogz_sampler",
+                                                        measured))
+                        if remeasured > self.logz_threshold / 2.0:
+                            log.info(
+                                f"Final NS top-up: merged sampler noise "
+                                f"{remeasured:.3f} still above threshold/2 "
+                                f"= {self.logz_threshold / 2:.3f} (merge "
+                                f"cap {cap}); reported err_total carries "
+                                f"the measured value")
             self.results_manager.end_timing("Nested Sampling")
             log.info("Final LogZ: " + ", ".join(
                 f"{k}={logz_dict[k]:.4f}" for k in logz_keys if k in logz_dict))

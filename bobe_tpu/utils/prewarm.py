@@ -349,3 +349,54 @@ def prewarm_next_bucket(bo) -> Optional[Prewarmer]:
         w.submit("next-ns",
                  lambda: _warm_nested(_dummy(), settings, "convergence"))
     return w
+
+
+def prewarm_boot_sync(d: int, max_gp_size: int = 256, batch: int = 4,
+                      settings: Optional[dict] = None) -> list:
+    """Synchronous boot-time warm for a d-dimensional problem: walk a
+    synthetic GP through every padding bucket up to ``max_gp_size``, warming
+    the full first-touch graph set (fit/update, sampler refresh, WIP
+    sweep/batch/refine, acq- and convergence-mode NS) at each bucket.
+
+    Device-server boot path (``python -m bobe_tpu.server --prewarm-d D``):
+    unlike ``prewarm_run`` this runs on the CALLING thread — at boot there is
+    nothing to overlap with, and a request arriving mid-prewarm should find
+    the graphs loaded, not race the loaders. Graphs are keyed on
+    (config, padded shapes), so a default-config plain-GP walk covers
+    default-config runs of the same dimension; runs with a classifier-GP,
+    input warp, or non-default sizes warm their remaining graphs on first
+    use as usual. Returns the list of warmed bucket capacities."""
+    import jax.numpy as jnp
+
+    from ..models.gp import GP
+
+    s = {"mc_points_method": "EHMC", "num_hmc_warmup": None,
+         "num_hmc_samples": 1024, "thinning": None, "num_chains": None,
+         "mc_points_size": 64, "batch_size": batch, "fit_n_points": 10,
+         "wip": True, "use_std_set": (True,), "ei_modes": ()}
+    s.update(settings or {})
+    rng = np.random.default_rng(_PREWARM_SEED + 9)
+    n0 = 16
+    x = rng.uniform(0.05, 0.95, size=(n0, int(d)))
+    y = -np.sum(((x - 0.5) / 0.25) ** 2, axis=1)
+    gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y))
+    warmed = []
+    while True:
+        cap = int(gp.state.x.shape[0])
+        t0 = time.time()
+        _warm_fit_and_update(gp, s)
+        _warm_sampler(gp, s)
+        _warm_acquisition(gp, s)
+        _warm_nested(gp, s, "acq")
+        _warm_nested(gp, s, "convergence")
+        warmed.append(cap)
+        log.info(f"boot prewarm: bucket cap={cap} done in "
+                 f"{time.time() - t0:.1f} s")
+        if cap >= int(max_gp_size):
+            break
+        # grow into the next bucket with production-shaped batch updates
+        need = cap - gp.gp_size + 1
+        for _ in range((need + batch - 1) // batch):
+            new_x = rng.uniform(0.05, 0.95, size=(batch, int(d)))
+            gp.update(new_x, _synthetic_targets(gp, rng, batch))
+    return warmed
