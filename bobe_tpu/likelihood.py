@@ -135,11 +135,23 @@ class CobayaLikelihood(Likelihood):
 
     def _get_single_valid_point(self, rng: np.random.Generator):
         """Draw one valid point from the Cobaya reference distribution
-        (executed on pool workers; reference likelihood.py:188-204)."""
-        pt, res = self.cobaya_model.get_valid_point(
-            max_tries=1000, ignore_fixed_ref=False,
-            logposterior_as_dict=True, random_state=rng)
-        lp = res["logpost"]
+        (executed on pool workers; reference likelihood.py:188-204).
+
+        Version tolerance: ``logposterior_as_dict`` arrived in cobaya 3.2;
+        older Models reject the kwarg and return a LogPosterior namedtuple
+        with a ``.logpost`` attribute instead. Both surfaces are pinned by
+        tests/test_cobaya_adapter.py (recorded-surface contract tests for
+        the 3.2+ dict form and the pre-3.2 namedtuple form)."""
+        try:
+            pt, res = self.cobaya_model.get_valid_point(
+                max_tries=1000, ignore_fixed_ref=False,
+                logposterior_as_dict=True, random_state=rng)
+            lp = res["logpost"]
+        except TypeError:
+            # pre-3.2 surface: no logposterior_as_dict kwarg
+            pt, res = self.cobaya_model.get_valid_point(
+                max_tries=1000, ignore_fixed_ref=False, random_state=rng)
+            lp = res["logpost"] if isinstance(res, dict) else res.logpost
         if lp < self.minus_inf:
             lp = self.minus_inf
         return pt, lp + self.logprior_vol

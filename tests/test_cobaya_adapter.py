@@ -266,3 +266,47 @@ def test_cosmology_example_yamls_are_valid():
                 assert ("min" in pr and "max" in pr) or pr.get("dist"), (fname, name)
                 assert "ref" in spec, (fname, name)
         assert sampled == n_sampled, (fname, sampled)
+
+
+def test_cobaya_pre32_get_valid_point_surface(fake_cobaya):
+    """Second recorded cobaya surface (pre-3.2): Model.get_valid_point has
+    NO ``logposterior_as_dict`` kwarg and returns (point, LogPosterior
+    namedtuple with .logpost). The adapter must fall back transparently
+    (VERDICT round-4 item 7 — a second cobaya version's kwargs contract)."""
+    import collections
+    import sys as _sys
+
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    LogPosterior = collections.namedtuple("LogPosterior",
+                                          ["logpost", "logpriors", "loglikes"])
+
+    class _OldModel(_FakeModel):
+        def get_valid_point(self, max_tries, ignore_fixed_ref, random_state):
+            # strict signature: passing logposterior_as_dict must TypeError
+            pt = np.array([0.5, 0.1])
+            return pt, LogPosterior(self.logpost(pt), None, None)
+
+    _sys.modules["cobaya.model"].get_model = lambda info: _OldModel()
+    lk = CobayaLikelihood({"likelihood": {}}, name="old_surface")
+    pt, lp = lk._get_single_valid_point(np.random.default_rng(0))
+    np.testing.assert_allclose(pt, [0.5, 0.1])
+    assert lp == pytest.approx(-0.26 + np.log(4.0))
+
+
+def test_cobaya_pre32_dict_hybrid_surface(fake_cobaya):
+    """Some 3.1.x point releases returned a dict WITHOUT accepting the
+    kwarg; the fallback must read that too."""
+    import sys as _sys
+
+    from bobe_tpu.likelihood import CobayaLikelihood
+
+    class _HybridModel(_FakeModel):
+        def get_valid_point(self, max_tries, ignore_fixed_ref, random_state):
+            pt = np.array([0.5, 0.1])
+            return pt, {"logpost": self.logpost(pt)}
+
+    _sys.modules["cobaya.model"].get_model = lambda info: _HybridModel()
+    lk = CobayaLikelihood({"likelihood": {}})
+    pt, lp = lk._get_single_valid_point(np.random.default_rng(0))
+    assert lp == pytest.approx(-0.26 + np.log(4.0))
