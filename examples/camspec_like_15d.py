@@ -51,9 +51,20 @@ def main(max_evals=1500, seed=3):
                   else bobe.gp.npoints)
     print(f"logZ = {logz['mean']:.4f}  truth = {logz_true:.4f}  "
           f"|dlogZ| = {err:.4f}  (target <= 0.1), "
+          f"err_total = {logz.get('err_total', float('nan')):.4f}  "
+          f"[sampler {logz.get('dlogz_sampler', float('nan')):.4f}, "
+          f"hyp {logz.get('dlogz_hyp', float('nan')):.4f}], "
           f"true evals = {n_evals}")
     return err, results
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    kw = {}
+    for a in sys.argv[1:]:
+        k, sep, v = a.partition("=")
+        if not sep or k not in ("max_evals", "seed") or not v.isdigit():
+            sys.exit(f"usage: {sys.argv[0]} [max_evals=N] [seed=N]")
+        kw[k] = int(v)
+    main(**kw)

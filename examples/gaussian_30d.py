@@ -46,7 +46,10 @@ def main(max_gp_size=1200, max_evals=1500, seed=4, resume=0):
     print(f"logZ = {logz.get('mean', float('nan')):.3f} "
           f"(analytic {logz_true:.3f})  "
           f"bounds = ({logz.get('lower', float('nan')):.3f}, "
-          f"{logz.get('upper', float('nan')):.3f})")
+          f"{logz.get('upper', float('nan')):.3f})  "
+          f"err_total = {logz.get('err_total', float('nan')):.4f}  "
+          f"[sampler {logz.get('dlogz_sampler', float('nan')):.4f}, "
+          f"hyp {logz.get('dlogz_hyp', float('nan')):.4f}]")
     return results
 
 
