@@ -166,3 +166,14 @@ def test_prewarm_with_classifier_gp():
     w = prewarm.prewarm_run(bo, ["wipstd"])
     assert w.wait(timeout=600)
     assert w.errors == {}, w.errors
+
+
+def test_prewarm_boot_sync_single_bucket():
+    """The device-server boot prewarm walks the bucket ladder synchronously
+    and reports the capacities it warmed; a max_gp_size inside the first
+    bucket warms exactly one."""
+    buckets = prewarm.prewarm_boot_sync(
+        2, max_gp_size=64,
+        settings={"num_hmc_samples": 64, "mc_points_size": 16,
+                  "batch_size": 4})
+    assert buckets == [128]  # PAD_MULTIPLE floor
