@@ -8,6 +8,9 @@
 #      warping (VERDICT items 2 and 3's warp-validation axis)
 set -u
 cd /root/repo
+# examples import bobe_tpu from the repo root; `python examples/x.py`
+# puts examples/ (not the root) on sys.path — APPEND to keep the axon hook
+export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
 mkdir -p results
 LOG=results/round5_campaign.log
 {
