@@ -121,6 +121,11 @@ def run_on_server(bobe, run_kwargs: Dict[str, Any]) -> Dict[str, Any]:
         "op": "run",
         "init": bobe._server_init,
         "run": dict(run_kwargs),
+        # forward this process's runtime knobs so `BOBE_TPU_X=... script.py`
+        # behaves identically with and without a server (topology keys and
+        # import-time policies excluded — server.py ENV_TOPOLOGY_KEYS)
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith("BOBE_TPU_")},
         "likelihood": {
             "param_list": list(likelihood.param_list),
             "param_bounds": np.asarray(likelihood.param_bounds),

@@ -171,10 +171,31 @@ def _sanitize_results(bobe) -> Dict[str, Any]:
     return out
 
 
+# env keys that define the server/client topology itself — never forwarded
+ENV_TOPOLOGY_KEYS = frozenset({
+    "BOBE_TPU_SERVER", "BOBE_TPU_SERVER_ROLE", "BOBE_TPU_CLIENT_PINNED",
+    "BOBE_TPU_SERVER_IDLE_S", "BOBE_TPU_SERVER_SOCKET",
+    "BOBE_TPU_SERVER_AUTOSPAWN",
+})
+
+
 def _do_run(conn: socket.socket, req: Dict[str, Any]) -> None:
     # heavy imports deferred so `--help`/module import stay instant
     from .bo import BOBE
     from .likelihood import Likelihood
+
+    # Apply the CLIENT's BOBE_TPU_* runtime knobs for the duration of this
+    # run (fit policy caps, NS speculation/boost, predict chunking, ... are
+    # read from os.environ per call). Import-time policies — dtype, compile
+    # cache location — follow the SERVER's environment and are documented
+    # as such. Restored in the finally below so runs cannot leak knobs into
+    # each other.
+    saved_env: Dict[str, Optional[str]] = {}
+    for k, v in (req.get("env") or {}).items():
+        if not k.startswith("BOBE_TPU_") or k in ENV_TOPOLOGY_KEYS:
+            continue
+        saved_env[k] = os.environ.get(k)
+        os.environ[k] = str(v)
 
     lik_meta = req["likelihood"]
     pool = _CallbackPool(conn)
@@ -192,11 +213,18 @@ def _do_run(conn: socket.socket, req: Dict[str, Any]) -> None:
         name=lik_meta.get("name"),
         minus_inf=lik_meta.get("minus_inf", -1e10),
     )
-    init_kwargs = dict(req.get("init", {}))
-    run_kwargs = dict(req.get("run", {}))
-    bobe = BOBE(loglikelihood=likelihood, pool=pool, **init_kwargs)
-    bobe.run(**run_kwargs)
-    send_frame(conn, {"op": "done", "results": _sanitize_results(bobe)})
+    try:
+        init_kwargs = dict(req.get("init", {}))
+        run_kwargs = dict(req.get("run", {}))
+        bobe = BOBE(loglikelihood=likelihood, pool=pool, **init_kwargs)
+        bobe.run(**run_kwargs)
+        send_frame(conn, {"op": "done", "results": _sanitize_results(bobe)})
+    finally:
+        for k, old in saved_env.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
 
 
 def _handle(conn: socket.socket, stats: Dict[str, Any]) -> bool:

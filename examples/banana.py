@@ -59,7 +59,13 @@ def main():
     if "upper" in logz:
         print(f"logZ uncertainty: +/-{(logz['upper'] - logz['lower']) / 2:.4f}")
     print(f"wall time: {time.time() - start:.1f}s")
-    rm = results["results_manager"]
+    rm = results.get("results_manager")
+    if rm is None:
+        # device-server mode: the run executed on the server; timing +
+        # plot artifacts are written server-side under save_dir
+        print("(run executed on the device server; timing/plots are in "
+              "./results/)")
+        return
     timing = rm.get_timing_summary()
     for phase, t in timing["phase_times"].items():
         if t > 0:
