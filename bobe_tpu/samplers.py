@@ -337,7 +337,11 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
     # spread of those logZ values is an independent error term. One fit
     # basin (the common case) contributes exactly 0.
     dlogz_hyp = 0.0
-    basins = getattr(gp, "hyp_basins", lambda: [])()
+    # acq-mode runs feed the MC candidate pool, not the reported evidence —
+    # skip the per-basin refresh + re-predict there (it would otherwise run
+    # every iteration for mc_points_method='NS' users)
+    basins = (getattr(gp, "hyp_basins", lambda: [])()
+              if mode != "acq" else [])
     if len(basins) >= 2:
         try:
             from scipy.special import logsumexp as _lse

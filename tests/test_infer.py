@@ -244,17 +244,22 @@ def test_dlogz_hyp_folds_hyperfit_spread_into_err_total():
     gp = GP(train_x=jnp.asarray(x), train_y=jnp.asarray(y), noise=1e-8)
     gp.fit(n_restarts=2, maxiter=80)
     gp._fit_basins = gp._fit_basins[:1]
-    _, logz1, ok1 = nested_sampling(gp, mode="acq",
+    _, logz1, ok1 = nested_sampling(gp, mode="convergence", nlive=128,
                                     rng=np.random.default_rng(1),
                                     rng_key=jax.random.PRNGKey(1))
     assert ok1 and logz1["dlogz_hyp"] == 0.0
+    # acq-mode pools skip the basin work entirely (cost gate)
+    _, logz_acq, _ = nested_sampling(gp, mode="acq",
+                                     rng=np.random.default_rng(1),
+                                     rng_key=jax.random.PRNGKey(1))
+    assert logz_acq["dlogz_hyp"] == 0.0
 
     # inject a second basin with clearly different lengthscales, 1 nat off
     p0, f0 = gp._fit_basins[0]
     alt = np.asarray(p0, dtype=float).copy()
     alt[:2] += 1.5  # much longer lengthscales -> different surrogate mean
     gp._fit_basins = [(p0, f0), (alt, f0 + 1.0)]
-    _, logz2, ok2 = nested_sampling(gp, mode="acq",
+    _, logz2, ok2 = nested_sampling(gp, mode="convergence", nlive=128,
                                     rng=np.random.default_rng(1),
                                     rng_key=jax.random.PRNGKey(1))
     assert ok2
