@@ -214,10 +214,17 @@ def nested_sampling(gp, mode: str = "acq", ndim: Optional[int] = None,
         ns_kwargs["n_repeats"] = int(np.ceil(3.0 * ndim))
     if maxcall is None:
         # the call budget must scale with the work a converged run actually
-        # needs (~100 * nlive * n_repeats batched evals measured across
-        # d=2..30); a fixed 5e6 silently truncated d=30 runs at ~60% depth
+        # needs: iterations-to-convergence ~ H * nlive / kills and H (the
+        # information) grows with d, so a d-independent multiple of
+        # nlive * reps under-budgets exactly the high-d convergence runs.
+        # Measured: a fixed 5e6 truncated d=30 runs at ~60% depth (round 3),
+        # and 100 * nlive * reps (10.8M at d=30/nlive=1200/reps=90) still
+        # truncated at n_iter 347 of the ~430 + tail needed (~17M calls,
+        # round 5) — the d-term below gives 27M there (1.6x headroom) while
+        # leaving converged low-d runs untouched (maxcall is a ceiling, not
+        # a driver; raising it never slows a run that reaches dlogz).
         reps = int(ns_kwargs.get("n_repeats") or max(3, np.ceil(1.5 * ndim)))
-        maxcall = max(maxcall_default, 100 * int(nlive) * reps)
+        maxcall = max(maxcall_default, (100 + 5 * ndim) * int(nlive) * reps)
 
     rng = rng if rng is not None else get_numpy_rng()
     key = rng_key if rng_key is not None else get_new_jax_key()
