@@ -24,9 +24,14 @@ def main(max_gp_size=1200, max_evals=1500, seed=4, resume=0):
         # run loses at most a few batches)
         resume=bool(resume),
         resume_file="./results/gaussian30d" if resume else None,
-        # BOBE_TPU_EX_WARP=1: input warping — the open d=30 lead is the
-        # GP-bound width (0.29 at the cap); warping tightened bounds ~40%
-        # on the banana A/B (BENCH_NOTES) and is the candidate fix here
+        # BOBE_TPU_EX_WARP=1: input warping. Measured OUT as the d=30
+        # bound lever (round 5, tools/warp30_ab.py): this target is
+        # isotropic, so the 60 extra warp hyperparameters are pure fit
+        # fragility (A/B: bound 48x wider, mean off 3.5 nats) and the warp
+        # fit forgoes the distance precompute (~5x slower refits in the
+        # host-f64 band). The validated bound lever is cap escalation:
+        # max_gp_size=2048 measured half-width 0.29 -> 0.113 (BENCH_NOTES
+        # round 3). Warping stays available here for A/B reproduction.
         gp_kwargs=({"input_warp": True}
                    if os.environ.get("BOBE_TPU_EX_WARP") == "1" else None),
     )
